@@ -1,0 +1,170 @@
+"""Bench harness: end-to-end CDC apply throughput + headline queries.
+
+Protocol (BASELINE.md): generate a fixed seeded event log at bench
+scale, run the full streaming apply (binlog-shaped tail -> decode ->
+salted LWW -> bucketed MERGE) to completion at local[8] and local[32]
+on the SAME input, report throughput at both + scaling efficiency
+= (ev/s@32 / ev/s@8) / 4, then time headline queries at local[CPUS].
+
+Prints ONE JSON line:
+  {"metric": "cdc_apply_wall_sec", "value": <sec at local[CPUS]>,
+   "unit": "sec", "queries": {...per-query sec...}, "sf": ...,
+   "events": N, "events_per_sec": {"local8": ..., "local32": ...},
+   "scaling_efficiency_8_to_32": ...}
+
+Also writes BENCH/BASELINE.md. Worker mode (--apply-cores N) runs one
+apply in a fresh JVM so the two parallelism levels don't share one.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REVS = int(os.environ.get("BENCH_REVS", "120"))
+CACHE = os.path.join(REPO, ".bench_cache")
+
+
+def _sf_tag() -> str:
+    return os.path.basename(SF_DIR.rstrip("/"))
+
+
+def _sf_value() -> float:
+    tag = _sf_tag()
+    try:
+        return float(tag.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _log_dir() -> str:
+    return os.path.join(CACHE, f"eventlog_{_sf_tag()}_r{REVS}")
+
+
+def ensure_event_log() -> int:
+    meta = os.path.join(_log_dir(), "_COUNT")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            return int(f.read())
+    from database_delta_plugins_spark.session import get_spark
+    from database_delta_plugins_spark.sources.generator import write_event_log
+
+    spark = get_spark(master=f"local[{CPUS}]", app_name="bench-gen",
+                      shuffle_partitions=CPUS)
+    n = write_event_log(spark, SF_DIR, _log_dir(), revs=REVS,
+                        n_files=max(CPUS // 4, 8))
+    spark.stop()
+    with open(meta, "w") as f:
+        f.write(str(n))
+    return n
+
+
+def run_apply(cores: int, n_events: int) -> dict:
+    """One full streaming apply in THIS process. Returns wall/throughput."""
+    from database_delta_plugins_spark.session import get_spark
+    from database_delta_plugins_spark.streaming.pipeline import CDCPipeline
+
+    spark = get_spark(master=f"local[{cores}]", app_name=f"bench-apply-{cores}",
+                      shuffle_partitions=cores)
+    work = tempfile.mkdtemp(prefix=f"bench_apply_{cores}_")
+    try:
+        pipe = CDCPipeline(
+            spark, _log_dir(), f"{work}/table", f"{work}/ckpt",
+            num_buckets=cores, max_files_per_trigger=max(CPUS // 8, 4),
+            salt_buckets=cores * 2,
+        )
+        pipe.bootstrap(replicate_existing_data=False)
+        t0 = time.time()
+        table = pipe.run_to_completion()
+        wall = time.time() - t0
+        rows = table.read().count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+    return {"cores": cores, "wall_sec": round(wall, 2),
+            "events_per_sec": round(n_events / wall, 1), "final_rows": rows}
+
+
+def run_queries() -> dict:
+    import __spark_entry__ as entrymod
+    from database_delta_plugins_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{CPUS}]", app_name="bench-queries",
+                      shuffle_partitions=CPUS)
+    heads = ["cdc_apply_lww", "cdc_merge_upsert", "dedup_exact", "minhash_lsh",
+             "ngram_jaccard", "simhash", "ann_cosine_topk", "embed_neardup",
+             "text_quality", "events_sessions"]
+    qs = entrymod.queries()
+    out = {}
+    for name in heads:
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        out[name] = round(time.time() - t0, 2)
+        out[f"{name}_rows"] = n
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    if "--apply-cores" in sys.argv:
+        cores = int(sys.argv[sys.argv.index("--apply-cores") + 1])
+        n = ensure_event_log()
+        print("WORKER_RESULT " + json.dumps(run_apply(cores, n)))
+        return
+
+    n_events = ensure_event_log()
+    results = {}
+    for cores in (8, CPUS):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--apply-cores", str(cores)],
+            capture_output=True, text=True, cwd=REPO, timeout=3600,
+        )
+        line = next((ln for ln in p.stdout.splitlines()
+                     if ln.startswith("WORKER_RESULT ")), None)
+        if line is None:
+            sys.stderr.write(p.stdout[-2000:] + p.stderr[-4000:])
+            raise RuntimeError(f"apply worker (cores={cores}) failed")
+        results[cores] = json.loads(line[len("WORKER_RESULT "):])
+
+    eff = (results[CPUS]["events_per_sec"] / results[8]["events_per_sec"]) / (CPUS / 8)
+    qtimes = run_queries()
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            "# BENCH — measured baseline\n\n"
+            f"Input: {n_events} CDC events over `{SF_DIR}` documents "
+            f"(deterministic generator, revs={REVS}), identical for both runs.\n\n"
+            "| parallelism | wall (s) | events/sec | final rows |\n|---|---|---|---|\n"
+            + "".join(
+                f"| local[{c}] | {r['wall_sec']} | {r['events_per_sec']} | {r['final_rows']} |\n"
+                for c, r in sorted(results.items())
+            )
+            + f"\nScaling efficiency local[8]→local[{CPUS}] "
+            f"(per-core normalized): **{eff:.3f}** (gate ≥ 0.8)\n\n"
+            "Headline query times (sec) at local[%d], %s:\n\n" % (CPUS, _sf_tag())
+            + "".join(f"- {k}: {v}\n" for k, v in qtimes.items() if not k.endswith("_rows"))
+        )
+
+    print(json.dumps({
+        "metric": "cdc_apply_wall_sec",
+        "value": results[CPUS]["wall_sec"],
+        "unit": "sec",
+        "queries": {k: v for k, v in qtimes.items() if not k.endswith("_rows")},
+        "sf": _sf_value(),
+        "events": n_events,
+        "events_per_sec": {f"local{c}": r["events_per_sec"] for c, r in results.items()},
+        "scaling_efficiency_8_to_%d" % CPUS: round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,453 @@
+"""LakeTable — a minimal from-scratch ACID snapshot table format on parquet.
+
+No Iceberg/Delta jars ship in this environment, so the lake layer the
+north rule needs (transactional MERGE upsert, schema evolution applied
+before the batch commit, epoch-fenced exactly-once) is implemented from
+scratch with Iceberg-equivalent *semantics*:
+
+* **Snapshots**: immutable metadata JSON ``_meta/v{N}.json`` listing the
+  data files per key-bucket; readers resolve ``_meta/CURRENT`` (swapped
+  atomically via ``os.replace``) — atomic commits, time travel, and
+  consistent reads for free.
+* **Key-bucketed copy-on-write MERGE**: rows are hash-bucketed on the
+  primary key (``pmod(xxhash64(url), num_buckets)``); a merge rewrites
+  only the buckets touched by the update batch. At 100 TB this is the
+  Iceberg ``bucket(N, url)`` partition transform: merge cost scales with
+  touched data, not table size, and the bucket function co-locates
+  update shuffles with table layout so the join never re-shuffles the
+  whole table.
+* **Soft deletes**: tombstone rows (``_is_deleted``) keep (key, _lsn,
+  _seq) so out-of-order replay converges — mirrors the reference
+  target's ``_is_deleted``/``_sequence_num`` bookkeeping
+  (mysql-delta-plugins/src/e2e-test/java/io/cdap/plugin/BQValidation.java:86-87).
+* **Epoch fencing**: the epoch commit record lives INSIDE the snapshot
+  JSON, so data-apply and offset-commit are one atomic swap — the
+  apply-then-commit ordering the reference documents at
+  delta-plugins-common/.../DBSchemaHistory.java:63-69 becomes impossible
+  to violate, and a replayed epoch is detected and skipped (analogue of
+  SqlServerRecordConsumer.java:88-97 replay dedup).
+* **Schema evolution by field id**: schemas carry stable field ids;
+  rename is metadata-only, add null-fills old files, widen casts on
+  read (int->bigint, float->double) — Iceberg's evolution rules
+  (reference analogue: ALTER handling at
+  mysql-delta-plugins/.../MySqlRecordConsumer.java:247-269).
+
+Single writer per table (matching the reference: one replicator
+instance per source, C7 in SURVEY.md); concurrent commits are detected
+via exclusive metadata-file creation and fail cleanly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SYSTEM_COLS = ["_lsn", "_seq", "_is_deleted", "_ingest_ms"]
+
+_WIDEN_OK = {("int", "bigint"), ("float", "double"), ("int", "double")}
+
+
+def _type_from_str(s: str) -> T.DataType:
+    return T._parse_datatype_string(s)
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, path: str, snap: dict):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.snap = snap
+
+    # ------------------------------------------------------------ lifecycle
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key: str = "url",
+        num_buckets: int = 16,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        path = path.rstrip("/")
+        os.makedirs(f"{path}/_meta", exist_ok=False)
+        fields = [
+            {"id": i + 1, "name": f.name, "type": f.dataType.simpleString(),
+             "nullable": bool(f.nullable)}
+            for i, f in enumerate(schema.fields)
+        ]
+        if key not in [f["name"] for f in fields]:
+            raise ValueError(f"key column {key!r} not in schema")
+        snap = {
+            "format_version": 1,
+            "table_uuid": str(uuid.uuid4()),
+            "version": 0,
+            "key": key,
+            "num_buckets": int(num_buckets),
+            "last_field_id": len(fields),
+            "current_schema_id": 0,
+            "schemas": {"0": fields},
+            "buckets": {},
+            "epochs": {},
+            "schema_history": [],
+            "properties": properties or {},
+            "created_ms": int(time.time() * 1000),
+        }
+        t = cls(spark, path, snap)
+        t._write_snapshot(snap)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        path = path.rstrip("/")
+        with open(f"{path}/_meta/CURRENT") as f:
+            v = int(f.read().strip())
+        with open(f"{path}/_meta/v{v}.json") as f:
+            return cls(spark, path, json.load(f))
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        return os.path.exists(f"{path.rstrip('/')}/_meta/CURRENT")
+
+    def refresh(self) -> "LakeTable":
+        return LakeTable.load(self.spark, self.path)
+
+    # ------------------------------------------------------------ accessors
+    @property
+    def version(self) -> int:
+        return self.snap["version"]
+
+    @property
+    def key(self) -> str:
+        return self.snap["key"]
+
+    @property
+    def num_buckets(self) -> int:
+        return self.snap["num_buckets"]
+
+    def _schema_fields(self, schema_id: int | None = None) -> list[dict]:
+        sid = self.snap["current_schema_id"] if schema_id is None else schema_id
+        return self.snap["schemas"][str(sid)]
+
+    def schema(self) -> T.StructType:
+        """Current payload schema (no system columns)."""
+        return T.StructType([
+            T.StructField(f["name"], _type_from_str(f["type"]), f["nullable"])
+            for f in self._schema_fields()
+        ])
+
+    def full_schema(self) -> T.StructType:
+        s = self.schema()
+        return T.StructType(
+            list(s.fields)
+            + [
+                T.StructField("_lsn", T.LongType(), True),
+                T.StructField("_seq", T.LongType(), True),
+                T.StructField("_is_deleted", T.BooleanType(), False),
+                T.StructField("_ingest_ms", T.LongType(), True),
+            ]
+        )
+
+    def committed_epochs(self) -> dict:
+        return self.snap["epochs"]
+
+    def last_committed_lsn(self) -> int | None:
+        eps = self.snap["epochs"].values()
+        return max((e["max_lsn"] for e in eps if e.get("max_lsn") is not None), default=None)
+
+    # ------------------------------------------------------------ read path
+    def bucket_expr(self, col) -> F.Column:
+        return F.pmod(F.xxhash64(col), F.lit(self.num_buckets)).cast("int")
+
+    def scan(self, buckets: list[int] | None = None,
+             version: int | None = None) -> DataFrame:
+        """Internal scan: payload + system columns, tombstones included.
+
+        Schema-on-read: files written under older schema ids are projected
+        to the current schema by field id (rename = metadata-only; added
+        columns null-fill; widened types cast). Only the requested
+        buckets' files are read — manifest-level pruning, the analogue of
+        Iceberg partition pruning.
+        """
+        snap = self.snap
+        if version is not None and version != snap["version"]:
+            with open(f"{self.path}/_meta/v{version}.json") as f:
+                snap = json.load(f)
+        cur = {f["id"]: f for f in snap["schemas"][str(snap["current_schema_id"])]}
+        # group files by schema_id
+        groups: dict[int, list[str]] = {}
+        for b, info in snap["buckets"].items():
+            if buckets is not None and int(b) not in buckets:
+                continue
+            groups.setdefault(info["schema_id"], []).extend(
+                f"{self.path}/{p}" for p in info["files"]
+            )
+        parts = []
+        for sid, files in groups.items():
+            if not files:
+                continue
+            old = {f["id"]: f for f in snap["schemas"][str(sid)]}
+            df = self.spark.read.parquet(*files)
+            cols = []
+            for fid in sorted(cur):
+                nf = cur[fid]
+                if fid in old:
+                    cols.append(F.col(old[fid]["name"]).cast(nf["type"]).alias(nf["name"]))
+                else:
+                    cols.append(F.lit(None).cast(nf["type"]).alias(nf["name"]))
+            cols += [F.col(c) for c in SYSTEM_COLS]
+            parts.append(df.select(*cols))
+        if not parts:
+            return self.spark.createDataFrame([], self.full_schema())
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read(self, include_deleted: bool = False, version: int | None = None) -> DataFrame:
+        """User-facing view: payload columns, tombstones filtered."""
+        df = self.scan(version=version)
+        if not include_deleted:
+            df = df.filter(~F.col("_is_deleted"))
+        return df.select(*[f["name"] for f in self._schema_fields()])
+
+    # -------------------------------------------------------------- commits
+    def _write_snapshot(self, snap: dict) -> None:
+        v = snap["version"]
+        meta = f"{self.path}/_meta"
+        target = f"{meta}/v{v}.json"
+        # exclusive create = optimistic concurrency control: a concurrent
+        # writer racing to the same version fails here, not silently.
+        with open(target, "x") as f:
+            json.dump(snap, f)
+        tmp = f"{meta}/.CURRENT.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, f"{meta}/CURRENT")  # atomic pointer swap
+        self.snap = snap
+
+    # ------------------------------------------------------ schema evolution
+    def apply_ddl(self, ddl: dict, lsn: int | None = None) -> bool:
+        """Apply one structured DDL event transactionally (metadata-only;
+        next snapshot carries the new schema id). Returns False if this
+        DDL (by lsn) was already applied — history dedup, the analogue of
+        DBSchemaHistory.java:60-88.
+
+        Actions: add_column {name,type[,nullable]} · rename_column
+        {name,new_name} · widen_column {name,type} · drop_column {name}.
+        """
+        snap = json.loads(json.dumps(self.snap))
+        if lsn is not None:
+            applied = [h["lsn"] for h in snap["schema_history"] if h.get("lsn") is not None]
+            if applied and lsn <= max(applied):
+                return False
+        fields = json.loads(json.dumps(self._schema_fields()))
+        action = ddl["action"]
+        by_name = {f["name"]: f for f in fields}
+        if action == "add_column":
+            if ddl["name"] in by_name:
+                raise ValueError(f"column exists: {ddl['name']}")
+            snap["last_field_id"] += 1
+            fields.append({
+                "id": snap["last_field_id"], "name": ddl["name"],
+                "type": ddl["type"], "nullable": bool(ddl.get("nullable", True)),
+            })
+        elif action == "rename_column":
+            f = by_name[ddl["name"]]
+            if f["name"] == snap["key"]:
+                snap["key"] = ddl["new_name"]
+            f["name"] = ddl["new_name"]
+        elif action == "widen_column":
+            f = by_name[ddl["name"]]
+            if (f["type"], ddl["type"]) not in _WIDEN_OK:
+                raise ValueError(f"illegal widen {f['type']} -> {ddl['type']}")
+            f["type"] = ddl["type"]
+        elif action == "drop_column":
+            if ddl["name"] == snap["key"]:
+                raise ValueError("cannot drop key column")
+            fields = [f for f in fields if f["name"] != ddl["name"]]
+        else:
+            raise ValueError(f"unknown ddl action {action!r}")
+        new_sid = int(snap["current_schema_id"]) + 1
+        snap["schemas"][str(new_sid)] = fields
+        snap["current_schema_id"] = new_sid
+        snap["schema_history"].append({"lsn": lsn, "ddl": ddl, "schema_id": new_sid,
+                                       "ts_ms": int(time.time() * 1000)})
+        snap["version"] += 1
+        self._write_snapshot(snap)
+        return True
+
+    # ---------------------------------------------------------------- merge
+    def merge(self, updates: DataFrame, epoch_id: str | int | None = None,
+              extra_lineage: dict | None = None) -> dict:
+        """Key-partitioned copy-on-write MERGE (SURVEY.md §2.4 A1-A3).
+
+        ``updates`` columns: <payload per current schema> + op_type(I|U|D)
+        + lsn + seq [+ ts_ms]. Rows need NOT be pre-deduped: a salted
+        two-stage LWW reduce runs first (A2). Semantics per key:
+
+          WHEN MATCHED AND newer AND op='D'  -> tombstone
+          WHEN MATCHED AND newer             -> UPDATE SET *
+          WHEN MATCHED AND older/equal       -> keep target (replay no-op)
+          WHEN NOT MATCHED AND op!='D'       -> INSERT
+          WHEN NOT MATCHED AND op='D'        -> tombstone (out-of-order safe)
+
+        Exactly-once: if ``epoch_id`` was already committed, the merge is
+        a no-op returning the recorded stats (epoch fencing, A3).
+        Returns the lineage/commit record.
+        """
+        from database_delta_plugins_spark.operators.lww import lww_reduce_salted
+
+        key = self.key
+        eid = str(epoch_id) if epoch_id is not None else None
+        if eid is not None and eid in self.snap["epochs"]:
+            rec = dict(self.snap["epochs"][eid])
+            rec["skipped_replay"] = True
+            return rec
+
+        payload_names = [f["name"] for f in self._schema_fields()]
+        if key not in updates.columns:
+            raise ValueError(f"updates missing key column {key!r}")
+
+        # normalize updates to current schema (missing payload cols -> null)
+        upd = updates
+        for f in self._schema_fields():
+            if f["name"] not in upd.columns:
+                upd = upd.withColumn(f["name"], F.lit(None).cast(f["type"]))
+            else:
+                upd = upd.withColumn(f["name"], F.col(f["name"]).cast(f["type"]))
+        if "ts_ms" not in upd.columns:
+            upd = upd.withColumn("ts_ms", F.lit(None).cast("long"))
+        upd = upd.select(key, *[c for c in payload_names if c != key],
+                         "op_type", "lsn", "seq", "ts_ms")
+
+        # A2: in-batch LWW winner per key (salted two-stage; skew-proof)
+        upd = lww_reduce_salted(upd, key=key)
+
+        # shape the post-apply row for each winner
+        upd = upd.select(
+            F.col(key),
+            *[
+                F.when(F.col("op_type") == "D", F.lit(None).cast(dict(
+                    (f["name"], f["type"]) for f in self._schema_fields()
+                )[c])).otherwise(F.col(c)).alias(c)
+                for c in payload_names if c != key
+            ],
+            F.col("lsn").alias("_u_lsn"),
+            F.col("seq").alias("_u_seq"),
+            (F.col("op_type") == "D").alias("_u_deleted"),
+            F.col("ts_ms").alias("_u_ingest_ms"),
+        )
+        upd = upd.withColumn("_bucket", self.bucket_expr(F.col(key)))
+
+        affected = [r["_bucket"] for r in upd.select("_bucket").distinct().collect()]
+        tgt = self.scan(buckets=affected).withColumnRenamed(key, "_t_key")
+
+        u, t = upd.alias("u"), tgt.alias("t")
+        j = u.join(t, F.col(f"u.{key}") == F.col("t._t_key"), "full_outer")
+
+        u_newer = (
+            F.col("t._t_key").isNull()
+            | (F.col("u._u_lsn") > F.col("t._lsn"))
+            | ((F.col("u._u_lsn") == F.col("t._lsn")) & (F.col("u._u_seq") >= F.col("t._seq")))
+        )
+        take_u = F.col(f"u.{key}").isNotNull() & u_newer
+
+        result = j.select(
+            F.when(take_u, F.col(f"u.{key}")).otherwise(F.col("t._t_key")).alias(key),
+            *[
+                F.when(take_u, F.col(f"u.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+                for c in payload_names if c != key
+            ],
+            F.when(take_u, F.col("u._u_lsn")).otherwise(F.col("t._lsn")).alias("_lsn"),
+            F.when(take_u, F.col("u._u_seq")).otherwise(F.col("t._seq")).alias("_seq"),
+            F.when(take_u, F.col("u._u_deleted")).otherwise(F.col("t._is_deleted")).alias("_is_deleted"),
+            F.when(take_u, F.col("u._u_ingest_ms")).otherwise(F.col("t._ingest_ms")).alias("_ingest_ms"),
+            take_u.alias("_took_update"),
+            (F.col(f"u.{key}").isNotNull() & F.col("t._t_key").isNotNull()).alias("_matched"),
+        )
+        result = result.withColumn("_bucket", self.bucket_expr(F.col(key)))
+        result = result.persist()
+        try:
+            stats_rows = result.groupBy("_bucket").agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.min("_lsn").alias("min_lsn"),
+                F.max("_lsn").alias("max_lsn"),
+                F.sum(F.col("_is_deleted").cast("long")).alias("tombstones"),
+                F.sum(F.col("_took_update").cast("long")).alias("applied"),
+                F.sum((F.col("_matched") & ~F.col("_took_update")).cast("long")).alias("conflicts_lost"),
+                F.sum((F.col("_matched") & F.col("_took_update")).cast("long")).alias("updated"),
+            ).collect()
+
+            new_version = self.version + 1
+            # unique data dir per attempt: the exclusive v{N}.json create in
+            # _write_snapshot is the single commit-conflict point; a losing
+            # writer's orphan data dir is never referenced by any snapshot.
+            commit_rel = f"data/commit-{new_version}-{uuid.uuid4().hex[:8]}"
+            commit_dir = f"{self.path}/{commit_rel}"
+            (
+                result.drop("_took_update", "_matched")
+                .repartition(max(len(affected), 1), "_bucket")
+                .write.partitionBy("_bucket")
+                .mode("errorifexists")
+                .parquet(commit_dir)
+            )
+        finally:
+            result.unpersist()
+
+        # manifest update: affected buckets now point at the new files
+        snap = json.loads(json.dumps(self.snap))
+        per_bucket = {int(r["_bucket"]): r for r in stats_rows}
+        for b in affected:
+            bdir = f"{commit_dir}/_bucket={b}"
+            files = sorted(
+                f"{commit_rel}/_bucket={b}/{fn}"
+                for fn in (os.listdir(bdir) if os.path.isdir(bdir) else [])
+                if fn.endswith(".parquet")
+            )
+            st = per_bucket.get(int(b))
+            snap["buckets"][str(b)] = {
+                "files": files,
+                "schema_id": snap["current_schema_id"],
+                "rows": int(st["rows"]) if st else 0,
+                "min_lsn": int(st["min_lsn"]) if st and st["min_lsn"] is not None else None,
+                "max_lsn": int(st["max_lsn"]) if st and st["max_lsn"] is not None else None,
+            }
+
+        applied = sum(int(r["applied"]) for r in stats_rows)
+        lineage = {
+            "epoch_id": eid,
+            "committed_version": new_version,
+            "buckets_rewritten": sorted(int(b) for b in affected),
+            "rows_applied": applied,
+            "rows_updated": sum(int(r["updated"]) for r in stats_rows),
+            "conflicts_lost": sum(int(r["conflicts_lost"]) for r in stats_rows),
+            "tombstones": sum(int(r["tombstones"]) for r in stats_rows),
+            "min_lsn": min((int(r["min_lsn"]) for r in stats_rows if r["min_lsn"] is not None), default=None),
+            "max_lsn": max((int(r["max_lsn"]) for r in stats_rows if r["max_lsn"] is not None), default=None),
+            "ts_ms": int(time.time() * 1000),
+        }
+        if extra_lineage:
+            lineage.update(extra_lineage)
+        if eid is not None:
+            snap["epochs"][eid] = lineage
+        snap["version"] = new_version
+        self._write_snapshot(snap)
+        return lineage
+
+    # ------------------------------------------------------------- utility
+    def history(self) -> list[dict]:
+        meta = f"{self.path}/_meta"
+        out = []
+        for fn in sorted(os.listdir(meta)):
+            if fn.startswith("v") and fn.endswith(".json"):
+                with open(f"{meta}/{fn}") as f:
+                    s = json.load(f)
+                out.append({"version": s["version"], "epochs": len(s["epochs"]),
+                            "schema_id": s["current_schema_id"]})
+        return out

@@ -1,0 +1,111 @@
+"""Event decode / normalize operators (SURVEY.md §2.2 D1-D12).
+
+Each stage of the reference's per-record consumer pipeline
+(mysql-delta-plugins/src/main/java/io/cdap/delta/mysql/
+MySqlRecordConsumer.java:78-225) re-expressed as pure Catalyst column
+expressions over the event DataFrame — whole-stage-codegen friendly,
+no Python in the path. All functions take and return DataFrames so
+they compose; Catalyst fuses the stack into one projection/filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# D2: op-code map — c/r -> INSERT, u -> UPDATE, d -> DELETE; unknown dropped
+# with the reference's skip-and-warn semantics (MySqlRecordConsumer.java:170-183).
+_OP_MAP = {"c": "I", "r": "I", "u": "U", "d": "D"}
+
+
+def split_ddl(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """D1 envelope split: (dml_df, ddl_df). DDL records are control rows
+    with op='ddl' (reference distinguishes by record layout:
+    MySqlRecordConsumer.java:142-154)."""
+    return df.filter(F.col("op") != "ddl"), df.filter(F.col("op") == "ddl")
+
+
+def map_opcode(df: DataFrame, op_col: str = "op", out_col: str = "op_type") -> DataFrame:
+    """D2: normalize source op codes; unknown codes are dropped (skip+warn
+    in the reference; a filter here — count the drop in lineage)."""
+    expr = F.when(F.col(op_col).isin("c", "r"), F.lit("I")) \
+        .when(F.col(op_col) == "u", F.lit("U")) \
+        .when(F.col(op_col) == "d", F.lit("D"))
+    return df.withColumn(out_col, expr).filter(F.col(out_col).isNotNull())
+
+
+def select_row_image(df: DataFrame) -> DataFrame:
+    """D3: DELETE carries the before-image as its row; INSERT/UPDATE the
+    after-image (MySqlRecordConsumer.java:218-225; SqlServerRecordConsumer.java:216-218).
+    Produces a unified ``row`` struct plus retained ``before`` for UPDATE
+    validation."""
+    return df.withColumn("row", F.coalesce(F.col("after"), F.col("before")))
+
+
+def filter_dml_blacklist(df: DataFrame, blacklist: set[str] | None, op_col: str = "op_type") -> DataFrame:
+    """D7: drop blacklisted operation types (MySqlRecordConsumer.java:185-188)."""
+    if not blacklist:
+        return df
+    return df.filter(~F.col(op_col).isin(*sorted(blacklist)))
+
+
+def synth_txn_id(df: DataFrame, gtid_col: str = "gtid",
+                 file_col: str = "binlog_file", pos_col: str = "binlog_pos") -> DataFrame:
+    """D9: transaction id = gtid, else file:pos (MySqlRecordConsumer.java:190-195)."""
+    return df.withColumn(
+        "txn_id",
+        F.coalesce(F.col(gtid_col),
+                   F.concat_ws(":", F.col(file_col), F.col(pos_col).cast("string"))),
+    )
+
+
+def filter_replayed(df: DataFrame, last_committed_lsn: int | None,
+                    lsn_col: str = "lsn") -> DataFrame:
+    """D11: drop events at-or-before the committed offset after a restart —
+    the source replays the boundary event (SqlServerRecordConsumer.java:88-97,
+    SqlServerOffset.java:91-94 isBeforeOrAt). Belt-and-braces with the
+    idempotent MERGE."""
+    if last_committed_lsn is None:
+        return df
+    return df.filter(F.col(lsn_col) > F.lit(int(last_committed_lsn)))
+
+
+def project_columns(df: DataFrame, columns: list[str] | None,
+                    row_col: str = "row") -> DataFrame:
+    """D6: keep only user-selected payload columns of the row image
+    (common/Records.java:123-148). Column pruning then reaches the scan."""
+    if not columns:
+        return df
+    pruned = F.struct(*[F.col(f"{row_col}.{c}").alias(c) for c in columns])
+    return df.withColumn(row_col, pruned)
+
+
+def offset_columns(df: DataFrame) -> DataFrame:
+    """D10: carry the source offset through the pipeline as first-class
+    columns (lsn, seq) — per-partition min/max becomes lineage
+    (MySqlRecordConsumer.java:369-399 offset map)."""
+    return df.withColumn("_offset", F.struct(F.col("lsn"), F.col("seq")))
+
+
+def decode_events(
+    df: DataFrame,
+    blacklist: set[str] | None = None,
+    last_committed_lsn: int | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Full DML decode stack D1-D12 (DDL rows excluded; handle via split_ddl).
+
+    Output: flattened payload columns + (op_type, lsn, seq, ts_ms,
+    is_snapshot, txn_id). One Catalyst projection — verify with
+    .explain(): a single WholeStageCodegen span over the scan.
+    """
+    dml, _ = split_ddl(df)
+    dml = filter_replayed(dml, last_committed_lsn)
+    dml = map_opcode(dml)
+    dml = filter_dml_blacklist(dml, blacklist)
+    dml = select_row_image(dml)
+    dml = project_columns(dml, columns)
+    return dml.select(
+        F.col("row.*"),
+        "op_type", "lsn", "seq", "ts_ms", "is_snapshot", "txn_id",
+    )

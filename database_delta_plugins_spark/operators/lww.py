@@ -1,0 +1,71 @@
+"""Last-writer-wins per-key reduce (SURVEY.md §2.4 A2).
+
+The reference guarantees a global total order by being single-threaded
+(mysql/MySqlEventReader.java:78,170); its target keeps `_sequence_num`
+for ordering (e2e BQValidation.java:86-87). Under Spark parallelism we
+instead prove: per-key LWW reduce over (lsn, seq) == sequential apply.
+That equivalence holds because the apply semantics are key-local —
+the final state of a url depends only on the max-(lsn,seq) event for
+that url (UPDATE SET * semantics; deletes are tombstones).
+
+Two strategies, same result:
+
+* ``lww_reduce`` — single-stage ``max_by(struct(payload), (lsn, seq))``.
+  Hash aggregate with map-side partial combine: the hot-url skew is
+  already absorbed by partial aggregation on the map side, so this is
+  the default at any scale.
+
+* ``lww_reduce_salted`` — explicit two-stage reduce for adversarial skew
+  (one url dominating whole input splits): stage 1 reduces per
+  (url, salt) with salt = pmod(xxhash64(lsn, seq), S) spreading one hot
+  key over S reducers; stage 2 reduces the S survivors per url. Used by
+  the streaming apply path per the north rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ORDER_COLS = ("lsn", "seq")
+
+
+def _ord(prefix: str = "") -> F.Column:
+    return F.struct(*[F.col(prefix + c) for c in ORDER_COLS])
+
+
+def lww_reduce(df: DataFrame, key: str = "url",
+               payload_cols: list[str] | None = None) -> DataFrame:
+    """One row per key: the payload of the max-(lsn, seq) event.
+
+    Uses max_by over a struct — a single shuffle on the key with
+    map-side partial aggregation (no window sort needed).
+    """
+    payload_cols = payload_cols or [c for c in df.columns if c != key]
+    winner = F.max_by(
+        F.struct(*[F.col(c) for c in payload_cols]), _ord()
+    ).alias("_w")
+    out = df.groupBy(key).agg(winner)
+    return out.select(key, *[F.col(f"_w.{c}").alias(c) for c in payload_cols])
+
+
+def lww_reduce_salted(df: DataFrame, key: str = "url",
+                      payload_cols: list[str] | None = None,
+                      salt_buckets: int = 64) -> DataFrame:
+    """Two-stage skew-proof LWW reduce.
+
+    Stage 1 shuffles on (key, salt) — a url receiving 50% of the batch
+    is spread over ``salt_buckets`` reducers; stage 2 reduces the at
+    most ``salt_buckets`` survivors per key. Survives 100× scale-up:
+    stage-2 input is bounded by (#distinct keys × salt_buckets).
+    """
+    payload_cols = payload_cols or [c for c in df.columns if c != key]
+    winner = F.max_by(F.struct(*[F.col(c) for c in payload_cols]), _ord()).alias("_w")
+
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in ORDER_COLS]), F.lit(salt_buckets))
+    )
+    stage1 = salted.groupBy(key, "_salt").agg(winner)
+    stage1 = stage1.select(key, *[F.col(f"_w.{c}").alias(c) for c in payload_cols])
+    stage2 = stage1.groupBy(key).agg(winner)
+    return stage2.select(key, *[F.col(f"_w.{c}").alias(c) for c in payload_cols])

@@ -1,0 +1,112 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk``      — brute-force exact top-k against a query vector:
+  native ``zip_with``/``aggregate`` dot product (JVM-side, codegen'd),
+  one narrow pass + a top-k sort. The correctness baseline.
+* ``lsh_bucket_topk``  — random-hyperplane LSH: sign-bit signature from
+  deterministic pseudo-hyperplanes, bucket on the signature prefix,
+  search only matching buckets (multi-probe over Hamming-1 neighbors).
+  The 100 TB path: candidate set ~ n / 2^bits per probe instead of n.
+* ``cosine_neardup_pairs`` — embedding near-duplicate detection via the
+  same LSH buckets.
+
+Hyperplanes are derived from xxhash64(i, dim) — no RNG state, fully
+deterministic and reproducible across runs/executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a, b) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine vs a constant query vector. The query is a
+    literal array (broadcast as part of the plan, no shuffle of the big
+    side; the global top-k is a TakeOrdered, not a full sort)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def _hyperplane(i: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane i (hash-derived,
+    values in [-1, 1))."""
+    import numpy as np
+    # splitmix64-style scramble — pure arithmetic, reproducible
+    out = []
+    for d in range(dim):
+        x = (i * 0x9E3779B97F4A7C15 + d * 0xC2B2AE3D27D4EB4F + 0xD6E8FEB86659FD93) % (1 << 64)
+        x ^= x >> 33
+        x = (x * 0xFF51AFD7ED558CCD) % (1 << 64)
+        x ^= x >> 33
+        out.append((x / float(1 << 63)) - 1.0)
+    return list(np.asarray(out, dtype=float))
+
+
+def lsh_signature(df: DataFrame, dim: int, bits: int = 8,
+                  vec_col: str = "embedding", out: str = "sig") -> DataFrame:
+    """Random-hyperplane signature: bit i = sign(v · h_i). Native exprs."""
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        h = F.array(*[F.lit(x) for x in _hyperplane(i, dim)])
+        bit = (_dot(F.col(vec_col), h) > 0).cast("long")
+        sig = sig + F.shiftleft(bit, i)
+    return df.withColumn(out, sig)
+
+
+def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                    bits: int = 8, id_col: str = "vec_id",
+                    vec_col: str = "embedding", multiprobe: bool = True) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket matches the
+    query's bucket (or differs by one bit with multiprobe)."""
+    dim = len(query_vec)
+    sigged = lsh_signature(df, dim, bits=bits, vec_col=vec_col)
+    qsig = 0
+    for i in range(bits):
+        d = sum(float(a) * b for a, b in zip(query_vec, _hyperplane(i, dim)))
+        qsig |= int(d > 0) << i
+    probes = [qsig] + ([qsig ^ (1 << i) for i in range(bits)] if multiprobe else [])
+    cand = sigged.filter(F.col("sig").isin(probes))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_neardup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
+                         bits: int = 8, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup pairs: exact cosine verified within LSH buckets
+    only — O(sum of bucket² ) candidates, never a full cross join."""
+    s = lsh_signature(df.select(id_col, vec_col), dim, bits=bits, vec_col=vec_col)
+    a = s.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "sig")
+    b = s.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "sig")
+    return (
+        a.join(b, "sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,76 @@
+"""Text-analysis operators for training-data pipelines (driver-mandated
+beyond-reference surface): language ID, quality scoring, token counting,
+document fingerprinting.
+
+All hot paths are native Catalyst expressions (regexp/length/md5 —
+whole-stage codegen, no Python). Each has an exact DuckDB-SQL oracle in
+__spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# marker-word heuristic: deterministic, SQL-expressible in both engines.
+LANG_MARKERS = [
+    ("en", ["the", "and", "of"]),
+    ("de", ["der", "die", "und"]),
+    ("fr", ["le", "la", "et"]),
+    ("es", ["el", "los", "que"]),
+    ("zh", ["de5", "shi4", "le5"]),  # romanized placeholders
+]
+
+_WORD_RE = "[A-Za-z0-9]+"
+
+
+def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    """Whitespace/punct-robust token count: |matches of [A-Za-z0-9]+|."""
+    return df.withColumn(out, F.size(F.regexp_extract_all(F.col(text_col), F.lit(_WORD_RE), 0)))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataFrame:
+    """Deterministic document fingerprint: md5 of lowercased trimmed text
+    (portable across engines; used as the exact-dedup key)."""
+    return df.withColumn(out, F.md5(F.lower(F.trim(F.col(text_col)))))
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Marker-word language ID: first language whose marker count >= 2
+    wins (deterministic priority order), else 'und'. N-gram-heuristic
+    shaped, fully codegen'd (no UDF)."""
+    low = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    expr = F.lit("und")
+    for lang, words in reversed(LANG_MARKERS):
+        hits = sum(
+            (F.size(F.split(low, f" {w} ")) - 1 for w in words),
+            start=F.lit(0),
+        )
+        expr = F.when(hits >= 2, F.lit(lang)).otherwise(expr)
+    return df.withColumn(out, expr)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/alpha-ratio/mean-word-length quality features + composite
+    score in [0,1] — the standard cheap pre-filter for web corpora."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.size(F.regexp_extract_all(t, F.lit(_WORD_RE), 0))
+    # sum of token lengths == count of [A-Za-z0-9] chars, so mean word
+    # length needs no array aggregate — one regexp_replace length.
+    alpha_chars = F.length(F.regexp_replace(t, "[^A-Za-z0-9]", ""))
+    df = (
+        df.withColumn("n_chars", n_chars.cast("long"))
+        .withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("alpha_ratio", F.when(n_chars > 0, alpha_chars / n_chars).otherwise(F.lit(0.0)))
+        .withColumn(
+            "mean_word_len",
+            F.when(n_tokens > 0, alpha_chars / n_tokens).otherwise(F.lit(0.0)),
+        )
+    )
+    score = (
+        F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0)) * 0.4
+        + F.col("alpha_ratio") * 0.4
+        + F.least(F.col("mean_word_len") / F.lit(8.0), F.lit(1.0)) * 0.2
+    )
+    return df.withColumn("quality", score)

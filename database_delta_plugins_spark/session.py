@@ -1,0 +1,45 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Tuned for the sandbox (local[N], single JVM) but every knob is the one
+you would set on a 1000-executor cluster: AQE on (runtime re-plan +
+skew-join splitting), shuffle partitions sized to cores, Arrow enabled
+for all pandas UDF exchange, small broadcast threshold left default so
+Catalyst broadcasts dimension-sized sides automatically.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "database-delta-plugins-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cores}]"
+    shuffle_partitions = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,220 @@
+"""Streaming CDC apply pipeline (SURVEY.md §3.1's Spark mapping).
+
+readStream over the binlog-shaped event log -> foreachBatch -> per-epoch:
+
+  1. epoch fencing (skip if the epoch is already in the table snapshot —
+     exactly-once A3; the reference's apply-then-commit contract,
+     delta-plugins-common/.../DBSchemaHistory.java:63-69)
+  2. split the batch at DDL events (A4: DDL-before-DML — schema changes
+     exactly between sub-batches, matching the stream ordering the
+     reference guarantees by construction)
+  3. decode/normalize (D1-D12 column exprs), optional vectorized
+     extract_text/norm_lang
+  4. salted LWW reduce + key-bucketed copy-on-write MERGE
+  5. lineage (offset range, rows applied, conflicts) recorded in the
+     same atomic snapshot commit
+
+Restart semantics: Spark's checkpoint restores read offsets; epoch ids
+are stable for a given checkpoint, so a replayed epoch hits the fence
+and is skipped; a partially-applied epoch (sub-batches) re-applies only
+the missing segments (segment ids are deterministic). Tombstoned LWW
+makes any residual replay idempotent. This is the replay-equivalence
+contract of SURVEY.md §3.3 (reference: MySqlConstantOffsetBackingStore
+.java:49-89 offset bootstrap + SqlServerRecordConsumer.java:88-97
+boundary-replay dedup).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from database_delta_plugins_spark.functions.udfs import extract_text, norm_lang
+from database_delta_plugins_spark.lake.table import LakeTable
+from database_delta_plugins_spark.operators import decode
+from database_delta_plugins_spark.plans.lineage import partition_lineage
+
+PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("warc_ts", T.TimestampType(), True),
+    T.StructField("html", T.BinaryType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+])
+
+
+def event_envelope_schema(payload: T.StructType = PAGES_SCHEMA) -> T.StructType:
+    return T.StructType([
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("table_name", T.StringType(), True),
+        T.StructField("before", payload, True),
+        T.StructField("after", payload, True),
+        T.StructField("ts_ms", T.LongType(), True),
+        T.StructField("is_snapshot", T.BooleanType(), True),
+        T.StructField("txn_id", T.StringType(), True),
+        T.StructField("ddl", T.StringType(), True),
+    ])
+
+
+class CDCPipeline:
+    """One replicator instance: event-log dir -> one LakeTable.
+
+    The reference's reader lifecycle (C1: MySqlEventReader.start/stop,
+    mysql/MySqlEventReader.java:85-185) maps onto the StreamingQuery;
+    backpressure (C2) onto ``maxFilesPerTrigger``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        event_log_dir: str,
+        table_path: str,
+        checkpoint_dir: str,
+        key: str = "url",
+        num_buckets: int = 16,
+        max_files_per_trigger: int = 2,
+        dml_blacklist: set[str] | None = None,
+        columns: list[str] | None = None,
+        derive_text_from_html: bool = False,
+        normalize_lang: bool = False,
+        salt_buckets: int = 64,
+        payload_schema: T.StructType = PAGES_SCHEMA,
+    ):
+        self.spark = spark
+        self.event_log_dir = event_log_dir
+        self.table_path = table_path
+        self.checkpoint_dir = checkpoint_dir
+        self.key = key
+        self.num_buckets = num_buckets
+        self.max_files_per_trigger = max_files_per_trigger
+        self.dml_blacklist = dml_blacklist
+        self.columns = columns
+        self.derive_text_from_html = derive_text_from_html
+        self.normalize_lang = normalize_lang
+        self.salt_buckets = salt_buckets
+        self.payload_schema = payload_schema
+        self.epoch_lineage: list[dict] = []
+
+    # ----------------------------------------------------------- bootstrap
+    def bootstrap(self, replicate_existing_data: bool = True,
+                  snapshot_df: DataFrame | None = None) -> LakeTable:
+        """S1/C5: create the target table if missing; optionally seed it
+        from an existing snapshot DataFrame as epoch 'snapshot' (the
+        reference's `replicateExistingData` initial snapshot,
+        mysql/MySqlConfig.java:126-128). Idempotent: re-running after a
+        mid-snapshot crash redoes/completes the snapshot epoch (epoch
+        fencing makes the redo a no-op if it committed)."""
+        if LakeTable.exists(self.table_path):
+            t = LakeTable.load(self.spark, self.table_path)
+        else:
+            t = LakeTable.create(self.spark, self.table_path, self.payload_schema,
+                                 key=self.key, num_buckets=self.num_buckets)
+        if replicate_existing_data and snapshot_df is not None:
+            snap = (
+                snapshot_df
+                .withColumn("op_type", F.lit("I"))
+                .withColumn("lsn", F.lit(-1).cast("long"))
+                .withColumn("seq", F.monotonically_increasing_id())
+                .withColumn("ts_ms", F.lit(None).cast("long"))
+            )
+            t.merge(snap, epoch_id="snapshot", extra_lineage={"is_snapshot": True})
+            t = t.refresh()
+        return t
+
+    # ---------------------------------------------------------- batch body
+    def _decoded(self, dml: DataFrame, last_lsn: int | None = None) -> DataFrame:
+        d = decode.decode_events(dml, blacklist=self.dml_blacklist,
+                                 last_committed_lsn=last_lsn, columns=self.columns)
+        if self.derive_text_from_html and "html" in d.columns:
+            d = d.withColumn("text", extract_text(F.col("html")))
+        if self.normalize_lang and "lang" in d.columns:
+            d = d.withColumn("lang", norm_lang(F.col("lang")))
+        return d.withColumnRenamed("op_type", "op_type")
+
+    def apply_batch(self, batch_df: DataFrame, epoch_id: int | str) -> list[dict]:
+        """foreachBatch body. Deterministically splits the batch at DDL
+        boundaries so every DML applies under the schema in force at its
+        lsn; each segment commits as its own fenced sub-epoch."""
+        table = LakeTable.load(self.spark, self.table_path)
+        dml, ddl = decode.split_ddl(batch_df)
+
+        ddl_rows = sorted(
+            ((r["lsn"], r["ddl"]) for r in ddl.select("lsn", "ddl").collect()),
+            key=lambda x: x[0],
+        )
+        boundaries = [lsn for lsn, _ in ddl_rows]
+        segments: list[tuple[str, int | None, int | None, list[tuple[int, str]]]] = []
+        lo = None
+        for i, b in enumerate(boundaries):
+            segments.append((f"{epoch_id}.{i}", lo, b, [(b, ddl_rows[i][1])]))
+            lo = b
+        segments.append((f"{epoch_id}.{len(boundaries)}", lo, None, []))
+
+        out = []
+        # half-open segments [lo, hi): a DML sharing the DDL's lsn applies
+        # in the NEXT segment (after the DDL) — deterministic, never lost.
+        for seg_id, lo_b, hi_b, ddls in segments:
+            seg = dml
+            if lo_b is not None:
+                seg = seg.filter(F.col("lsn") >= lo_b)
+            if hi_b is not None:
+                seg = seg.filter(F.col("lsn") < hi_b)
+            if seg_id not in table.committed_epochs():
+                d = self._decoded(seg)
+                dml_cols = [c for c in d.columns]
+                rec = table.merge(
+                    d,
+                    epoch_id=seg_id,
+                    extra_lineage={
+                        "stream_epoch": str(epoch_id),
+                        "partition_lineage": partition_lineage(d) if d is not None else [],
+                    },
+                )
+                table = table.refresh()
+                out.append(rec)
+            # apply DDL(s) that close this segment (dedup by lsn inside)
+            for lsn, ddl_json in ddls:
+                changed = table.apply_ddl(json.loads(ddl_json), lsn=lsn)
+                if changed:
+                    table = table.refresh()
+        self.epoch_lineage.extend(out)
+        return out
+
+    # ------------------------------------------------------------- runners
+    def read_stream(self) -> DataFrame:
+        return (
+            self.spark.readStream.schema(event_envelope_schema(self.payload_schema))
+            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            .parquet(self.event_log_dir)
+        )
+
+    def start(self, available_now: bool = True):
+        """C1 lifecycle: returns the StreamingQuery (stop() to halt)."""
+        if not LakeTable.exists(self.table_path):
+            self.bootstrap(replicate_existing_data=False)
+        writer = (
+            self.read_stream()
+            .writeStream.foreachBatch(lambda df, eid: self.apply_batch(df, eid))
+            .option("checkpointLocation", self.checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_to_completion(self, timeout_sec: int | None = None) -> LakeTable:
+        q = self.start(available_now=True)
+        q.awaitTermination(timeout_sec) if timeout_sec else q.awaitTermination()
+        return LakeTable.load(self.spark, self.table_path)
+
+    def apply_log_batch(self, events: DataFrame) -> LakeTable:
+        """Batch-mode convenience: apply a whole (bounded) event log in one
+        epoch — used by tests/queries; same code path as streaming."""
+        if not LakeTable.exists(self.table_path):
+            self.bootstrap(replicate_existing_data=False)
+        self.apply_batch(events, "batch-0")
+        return LakeTable.load(self.spark, self.table_path)

@@ -1,0 +1,17 @@
+import pytest
+
+from database_delta_plugins_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(master="local[8]", app_name="tests", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_SMOKE

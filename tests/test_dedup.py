@@ -1,0 +1,62 @@
+"""Dedup operators against planted ground truth."""
+from pyspark.sql import functions as F
+
+from database_delta_plugins_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun light"
+)
+
+
+def _corpus(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                    # exact dup of 0
+        (2, BASE.replace("afternoon", "morning")),    # near dup of 0
+        (3, "completely different words about spark shuffles and parquet files"),
+        (4, "another unrelated document mentioning iceberg tables and merges"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_corpus(spark)).collect()
+    groups = {r["keep_id"]: r["dup_count"] for r in out}
+    assert groups[0] == 2          # docs 0,1 collapse
+    assert len(out) == 4
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(_corpus(spark), threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(_corpus(spark), threshold=0.5).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs
+    assert (0, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_simhash_near_dup(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_candidates(_corpus(spark), max_hamming=10).collect()}
+    assert pairs[(0, 1)] == 0                     # identical -> same fingerprint
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 10
+    assert (0, 3) not in pairs
+
+
+def test_minhash_deterministic(spark):
+    a = sorted(map(tuple, minhash_lsh_pairs(_corpus(spark), threshold=0.5).collect()))
+    b = sorted(map(tuple, minhash_lsh_pairs(_corpus(spark).repartition(5), threshold=0.5).collect()))
+    assert a == b

@@ -1,0 +1,151 @@
+"""LakeTable ACID semantics: merge upsert, tombstones, epoch fencing,
+order-independence, schema evolution, concurrency guard."""
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from database_delta_plugins_spark.lake.table import LakeTable
+
+SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+])
+
+
+def _mk(spark, tmp_path, name="t", **kw):
+    return LakeTable.create(spark, str(tmp_path / name), SCHEMA, key="url",
+                            num_buckets=kw.pop("num_buckets", 4), **kw)
+
+
+_UPD_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+    T.StructField("op_type", T.StringType(), False),
+    T.StructField("lsn", T.LongType(), False),
+    T.StructField("seq", T.LongType(), False),
+])
+
+
+def _upd(spark, rows):
+    return spark.createDataFrame(rows, _UPD_SCHEMA)
+
+
+def test_insert_update_delete(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(_upd(spark, [("a", "v1", "en", "I", 1, 0), ("b", "w1", "de", "I", 2, 0)]), epoch_id=1)
+    t = t.refresh()
+    assert {r["url"]: r["text"] for r in t.read().collect()} == {"a": "v1", "b": "w1"}
+    t.merge(_upd(spark, [("a", "v2", "en", "U", 3, 0), ("b", None, None, "D", 4, 0)]), epoch_id=2)
+    t = t.refresh()
+    state = {r["url"]: r["text"] for r in t.read().collect()}
+    assert state == {"a": "v2"}
+    # tombstone retained internally with its lsn
+    dead = t.scan().filter(F.col("_is_deleted")).collect()
+    assert len(dead) == 1 and dead[0]["url"] == "b" and dead[0]["_lsn"] == 4
+
+
+def test_stale_update_loses(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(_upd(spark, [("a", "new", "en", "I", 10, 0)]), epoch_id=1)
+    t = t.refresh()
+    rec = t.merge(_upd(spark, [("a", "stale", "en", "U", 5, 0)]), epoch_id=2)
+    t = t.refresh()
+    assert t.read().head()["text"] == "new"
+    assert rec["conflicts_lost"] == 1
+
+
+def test_delete_then_late_update_stays_dead(spark, tmp_path):
+    """Out-of-order: DELETE(lsn 10) applied before UPDATE(lsn 5) — the
+    tombstone's lsn wins; resurrect only with a newer insert."""
+    t = _mk(spark, tmp_path)
+    t.merge(_upd(spark, [("a", None, None, "D", 10, 0)]), epoch_id=1)
+    t = t.refresh()
+    t.merge(_upd(spark, [("a", "late", "en", "U", 5, 0)]), epoch_id=2)
+    t = t.refresh()
+    assert t.read().count() == 0
+    t.merge(_upd(spark, [("a", "reborn", "en", "I", 11, 0)]), epoch_id=3)
+    t = t.refresh()
+    assert t.read().head()["text"] == "reborn"
+
+
+def test_epoch_fencing_idempotent(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    batch = _upd(spark, [("a", "v1", "en", "I", 1, 0)])
+    r1 = t.merge(batch, epoch_id="e1")
+    t = t.refresh()
+    v = t.version
+    r2 = t.merge(batch, epoch_id="e1")
+    assert r2.get("skipped_replay") is True
+    assert t.refresh().version == v
+    assert r1["rows_applied"] == r2["rows_applied"]
+
+
+def test_epoch_order_independence(spark, tmp_path):
+    e1 = [("a", "v1", "en", "I", 1, 0), ("b", "w1", "de", "I", 2, 0)]
+    e2 = [("a", "v2", "en", "U", 3, 0), ("c", "x1", "fr", "I", 4, 0)]
+    ta = _mk(spark, tmp_path, "fwd")
+    ta.merge(_upd(spark, e1), epoch_id=1)
+    ta.refresh().merge(_upd(spark, e2), epoch_id=2)
+    tb = _mk(spark, tmp_path, "rev")
+    tb.merge(_upd(spark, e2), epoch_id=2)
+    tb.refresh().merge(_upd(spark, e1), epoch_id=1)
+    a = LakeTable.load(spark, str(tmp_path / "fwd")).read().orderBy("url").collect()
+    b = LakeTable.load(spark, str(tmp_path / "rev")).read().orderBy("url").collect()
+    assert a == b
+
+
+def test_schema_evolution(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(_upd(spark, [("a", "v1", "en", "I", 1, 0)]), epoch_id=1)
+    t = t.refresh()
+    assert t.apply_ddl({"action": "add_column", "name": "score", "type": "int"}, lsn=100)
+    t = t.refresh()
+    # old rows null-fill
+    assert t.read().head()["score"] is None
+    # history dedup: same-or-older lsn skipped (DBSchemaHistory.java:60-88)
+    assert not t.apply_ddl({"action": "add_column", "name": "zz", "type": "int"}, lsn=100)
+    # widen int -> bigint
+    assert t.apply_ddl({"action": "widen_column", "name": "score", "type": "bigint"}, lsn=101)
+    t = t.refresh()
+    up = _upd(spark, [("b", "w1", "de", "I", 2, 0)]).withColumn("score", F.lit(7).cast("bigint"))
+    t.merge(up, epoch_id=2)
+    t = t.refresh()
+    got = {r["url"]: r["score"] for r in t.read().collect()}
+    assert got == {"a": None, "b": 7}
+    # rename is metadata-only
+    assert t.apply_ddl({"action": "rename_column", "name": "score", "new_name": "rank"}, lsn=102)
+    t = t.refresh()
+    assert {r["url"]: r["rank"] for r in t.read().collect()} == {"a": None, "b": 7}
+    # illegal widen rejected
+    with pytest.raises(ValueError):
+        t.apply_ddl({"action": "widen_column", "name": "rank", "type": "int"}, lsn=103)
+    # drop key rejected
+    with pytest.raises(ValueError):
+        t.apply_ddl({"action": "drop_column", "name": "url"}, lsn=104)
+
+
+def test_concurrent_commit_detected(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(_upd(spark, [("a", "v1", "en", "I", 1, 0)]), epoch_id=1)
+    stale = LakeTable.load(spark, str(t.path))
+    t2 = LakeTable.load(spark, str(t.path))
+    t2.merge(_upd(spark, [("b", "w", "de", "I", 2, 0)]), epoch_id=2)
+    # stale handle now races to the same version -> exclusive create fails
+    with pytest.raises(FileExistsError):
+        stale.merge(_upd(spark, [("c", "x", "fr", "I", 3, 0)]), epoch_id=3)
+
+
+def test_time_travel(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(_upd(spark, [("a", "v1", "en", "I", 1, 0)]), epoch_id=1)
+    t = t.refresh()
+    v1 = t.version
+    t.merge(_upd(spark, [("a", "v2", "en", "U", 2, 0)]), epoch_id=2)
+    t = t.refresh()
+    assert t.read().head()["text"] == "v2"
+    assert t.read(version=v1).head()["text"] == "v1"

@@ -1,0 +1,48 @@
+"""A2: per-key LWW reduce == sequential apply, independent of
+partitioning/ordering (the core semantic transplant from the reference's
+single-threaded total order, SURVEY.md §4)."""
+import pandas as pd
+from pyspark.sql import functions as F
+
+from database_delta_plugins_spark.operators.decode import decode_events
+from database_delta_plugins_spark.operators.lww import lww_reduce, lww_reduce_salted
+from database_delta_plugins_spark.sources.generator import rich_events_df
+
+
+def _sequential_oracle(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Apply events one-by-one in (lsn, seq) order — the reference's
+    single-threaded semantics."""
+    state: dict = {}
+    for _, r in pdf.sort_values(["lsn", "seq"]).iterrows():
+        state[r["url"]] = r
+    out = pd.DataFrame(list(state.values()))
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def test_lww_equals_sequential_apply(spark, sf_dir):
+    d = decode_events(rich_events_df(spark, sf_dir, revs=4, with_html=False))
+    d = d.select("url", "text", "op_type", "lsn", "seq")
+    oracle = _sequential_oracle(d.toPandas())[["url", "text", "op_type", "lsn", "seq"]]
+    got = lww_reduce(d).orderBy("url").toPandas()[oracle.columns.tolist()]
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), oracle)
+
+
+def test_salted_equals_plain_and_partitioning_invariance(spark, sf_dir):
+    d = decode_events(rich_events_df(spark, sf_dir, revs=4, with_html=False))
+    d = d.select("url", "text", "op_type", "lsn", "seq")
+    plain = lww_reduce(d).orderBy("url").toPandas()
+    for variant in [
+        lww_reduce_salted(d, salt_buckets=7),
+        lww_reduce_salted(d.repartition(17), salt_buckets=64),
+        lww_reduce(d.repartition(3, "lsn")),
+        lww_reduce(d.orderBy(F.desc("lsn"))),
+    ]:
+        got = variant.orderBy("url").toPandas()
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), plain.reset_index(drop=True))
+
+
+def test_lww_tie_break_on_seq(spark):
+    rows = [("u", "old", 5, 1), ("u", "new", 5, 2), ("u", "older", 4, 9)]
+    df = spark.createDataFrame(rows, ["url", "text", "lsn", "seq"])
+    got = lww_reduce(df).collect()
+    assert len(got) == 1 and got[0]["text"] == "new"

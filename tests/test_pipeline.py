@@ -1,0 +1,97 @@
+"""Replay-equivalence contract (SURVEY.md §3.3): kill at any epoch,
+restart from checkpoint, final table state identical — including the
+DDL-before-DML ordering at epoch boundaries (A4)."""
+import json
+import time
+
+import duckdb
+from pyspark.sql import functions as F
+
+from database_delta_plugins_spark.lake.table import LakeTable
+from database_delta_plugins_spark.sources.generator import write_event_log
+from database_delta_plugins_spark.streaming.pipeline import CDCPipeline
+
+
+def _state(t: LakeTable):
+    return t.read().orderBy("url").toPandas()
+
+
+def test_streaming_replay_equivalence(spark, sf_dir, tmp_path):
+    log = str(tmp_path / "log")
+    ddl = json.dumps({"action": "add_column", "name": "fetch_status", "type": "int"})
+    n = write_event_log(spark, sf_dir, log, revs=3, n_files=4, ddls=[(901, ddl)])
+    assert n > 0
+
+    # run A: uninterrupted
+    pa = CDCPipeline(spark, log, str(tmp_path / "ta"), str(tmp_path / "ca"),
+                     num_buckets=4, max_files_per_trigger=2)
+    pa.bootstrap(replicate_existing_data=False)
+    ta = pa.run_to_completion()
+    sa = _state(ta)
+    assert "fetch_status" in sa.columns  # DDL applied mid-stream
+
+    # run B: kill after first committed epoch, restart
+    pb = CDCPipeline(spark, log, str(tmp_path / "tb"), str(tmp_path / "cb"),
+                     num_buckets=4, max_files_per_trigger=2)
+    pb.bootstrap(replicate_existing_data=False)
+    q = pb.start()
+    deadline = time.time() + 120
+    while not pb.epoch_lineage and time.time() < deadline:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+    tb = pb.run_to_completion()
+    sb = _state(tb)
+    assert sa.equals(sb)
+
+    # full re-run after completion: everything fenced, state unchanged
+    v = tb.version
+    tb2 = pb.run_to_completion()
+    assert tb2.version == v
+    assert _state(tb2).equals(sb)
+
+
+def test_matches_duckdb_sequential_oracle(spark, sf_dir, tmp_path):
+    log = str(tmp_path / "log2")
+    write_event_log(spark, sf_dir, log, revs=3, n_files=3)
+    p = CDCPipeline(spark, log, str(tmp_path / "t2"), str(tmp_path / "c2"), num_buckets=4)
+    t = p.run_to_completion()
+    got = t.read().select("url", "text").orderBy("url").toPandas()
+    oracle = duckdb.sql(f"""
+      with dml as (select * from '{log}/*.parquet' where op != 'ddl'),
+      w as (select *, row_number() over (partition by coalesce(after.url, before.url)
+                                         order by lsn desc, seq desc) rn from dml)
+      select coalesce(after.url, before.url) as url, after.text as text
+      from w where rn = 1 and op != 'd' order by url
+    """).df()
+    assert got.reset_index(drop=True).equals(oracle.reset_index(drop=True))
+
+
+def test_snapshot_then_tail(spark, sf_dir, tmp_path):
+    """S1: replicate_existing_data seeds epoch 'snapshot'; tail events
+    with higher lsn override snapshot rows (C5 restart rule: re-running
+    bootstrap is fenced)."""
+    log = str(tmp_path / "log3")
+    write_event_log(spark, sf_dir, log, revs=2, n_files=2)
+    snap = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/doc-"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            F.concat(F.lit("SNAP:"), F.col("text")).alias("text"),
+            F.col("lang"),
+        )
+    )
+    p = CDCPipeline(spark, log, str(tmp_path / "t3"), str(tmp_path / "c3"), num_buckets=4)
+    t = p.bootstrap(replicate_existing_data=True, snapshot_df=snap)
+    assert t.read().filter(F.col("text").startswith("SNAP:")).count() == snap.count()
+    # idempotent bootstrap (mid-snapshot crash restart)
+    t = p.bootstrap(replicate_existing_data=True, snapshot_df=snap)
+    assert "snapshot" in t.committed_epochs()
+    t = p.run_to_completion()
+    # every url touched by the tail now carries tail text (lsn > -1)
+    still_snap = t.read().filter(F.col("text").startswith("SNAP:")).count()
+    assert still_snap < snap.count()
+    assert t.read().count() > 0

@@ -1,0 +1,55 @@
+"""Similarity search vs a numpy oracle."""
+import numpy as np
+from pyspark.sql import functions as F
+
+from database_delta_plugins_spark.operators.similarity import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    lsh_bucket_topk,
+)
+
+
+def _emb(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return df.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+
+
+def _numpy_topk(pdf, qv, k):
+    m = np.vstack(pdf["embedding"].to_numpy())
+    q = np.asarray(qv)
+    cos = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((pdf["vec_id"].to_numpy(), -cos))
+    return [int(pdf["vec_id"].iloc[i]) for i in order[:k]]
+
+
+def test_brute_force_topk_matches_numpy(spark, sf_dir):
+    df = _emb(spark, sf_dir)
+    pdf = df.toPandas()
+    qv = list(pdf.loc[pdf.vec_id == 0, "embedding"].iloc[0])
+    got = [r["vec_id"] for r in cosine_topk(df, qv, k=10).collect()]
+    assert got == _numpy_topk(pdf, qv, 10)
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    """LSH is approximate; the query's own vector (cos=1) must always be
+    found, and results must be a subset of brute-force top-50."""
+    df = _emb(spark, sf_dir)
+    pdf = df.toPandas()
+    qv = list(pdf.loc[pdf.vec_id == 0, "embedding"].iloc[0])
+    approx = [r["vec_id"] for r in lsh_bucket_topk(df, qv, k=10, bits=6).collect()]
+    assert approx[0] == 0
+    exact50 = set(_numpy_topk(pdf, qv, 50))
+    assert len(set(approx) & exact50) >= 3
+
+
+def test_neardup_finds_planted_duplicate(spark):
+    base = [float(x) for x in np.arange(8)]
+    near = [x + (0.01 if i == 0 else 0.0) for i, x in enumerate(base)]
+    far = [float(8 - x) for x in np.arange(8)]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], ["vec_id", "embedding"]
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             cosine_neardup_pairs(df, dim=8, threshold=0.999, bits=4).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs

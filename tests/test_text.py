@@ -1,0 +1,45 @@
+from pyspark.sql import functions as F
+
+from database_delta_plugins_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [(0, "one two three"), (1, "  spaced   out  "), (2, "punct! only?? words"), (3, "")],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["n_tokens"] for r in token_count(df).collect()}
+    assert got == {0: 3, 1: 2, 2: 3, 3: 0}
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog of the house"),
+            (1, "der hund und die katze"),
+            (2, "le chat et la maison"),
+            (3, "xyzzy plugh"),
+        ],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["lang_pred"] for r in lang_id(df).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "und"}
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    d = quality_score(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    bad = d.filter((F.col("quality") < 0) | (F.col("quality") > 1)).count()
+    assert bad == 0
+    row = d.filter(F.col("n_tokens") > 0).head()
+    assert row["alpha_ratio"] > 0 and row["mean_word_len"] > 0
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame([(0, " ABC "), (1, "abc"), (2, "abd")], ["id", "text"])
+    got = {r["id"]: r["fp"] for r in fingerprint(df).collect()}
+    assert got[0] == got[1] != got[2]
