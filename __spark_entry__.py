@@ -35,6 +35,7 @@ from database_delta_plugins_spark.operators.multimodal import decode_media, synt
 from database_delta_plugins_spark.operators.similarity import (
     cosine_neardup_pairs,
     cosine_topk,
+    ivf_topk,
     lsh_bucket_topk,
 )
 from database_delta_plugins_spark.operators.text import (
@@ -247,6 +248,13 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(dbl, qv, k=10, bits=6)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    dbl = emb.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    qv = [float(x) for x in dbl.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return ivf_topk(dbl, qv, k=10, n_cells=8, nprobe=3)
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     dbl = emb.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
@@ -297,6 +305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embed_neardup": q_embed_neardup,
         "multimodal_decode": q_multimodal_decode,
         "extract_text_roundtrip": q_extract_text_roundtrip,

@@ -37,33 +37,66 @@ def _unescape(s: pd.Series) -> pd.Series:
     return s
 
 
-@pandas_udf(BinaryType())
-def synth_html(text: pd.Series, lang: pd.Series) -> pd.Series:
-    """Deterministically wrap extracted text back into an HTML page
-    (test-fixture inverse of extract_text). NULL text -> NULL html."""
-    lang_f = lang.fillna("und")
-    head = lang_f.map(lambda l: _HTML_HEAD.format(lang=l))
-    body = _escape(text)
-    html = (head + body + _HTML_TAIL)
-    out = html.map(lambda s: s.encode("utf-8") if isinstance(s, str) else None)
-    out[text.isna()] = None
-    return out
+def _pad_block(seed_text: str, n_bytes: int) -> str:
+    """Deterministic markup filler that extract_text strips to ZERO bytes:
+    empty spans whose bytes live in attributes. One md5 per row, tiled —
+    generation stays cheap; the extract side still scans every byte."""
+    import hashlib
+
+    h = hashlib.md5(seed_text.encode("utf-8")).hexdigest()
+    block = f'<span data-pad="{h}"></span>'
+    return block * (n_bytes // len(block) + 1)
+
+
+def make_synth_html(pad_bytes: int = 0):
+    """synth_html with a configurable page weight: real Common-Crawl pages
+    are KBs of markup around the text, so benchmarks set pad_bytes to make
+    per-record decode work realistic. extract_text(synth_html(t)) == t
+    holds for ANY pad (filler strips to nothing)."""
+
+    @pandas_udf(BinaryType())
+    def synth_html_padded(text: pd.Series, lang: pd.Series) -> pd.Series:
+        lang_f = lang.fillna("und")
+        head = lang_f.map(lambda l: _HTML_HEAD.format(lang=l))
+        body = _escape(text)
+        if pad_bytes > 0:
+            pad = text.map(lambda t: _pad_block(t, pad_bytes) if isinstance(t, str) else "")
+            html = head + pad + body + _HTML_TAIL
+        else:
+            html = head + body + _HTML_TAIL
+        out = html.map(lambda s: s.encode("utf-8") if isinstance(s, str) else None)
+        out[text.isna()] = None
+        return out
+
+    return synth_html_padded
+
+
+synth_html = make_synth_html(0)
 
 
 @pandas_udf(StringType())
 def extract_text(html: pd.Series) -> pd.Series:
-    """HTML(binary, UTF-8) -> extracted text. Byte-stable: strict UTF-8
-    decode with surrogate-safe 'replace', tag strip via a single
-    non-greedy regex, entity unescape. Deterministic across pandas/Arrow
-    versions (pure string ops, no locale)."""
-    s = html.map(lambda b: b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray)) else None)
-    s = pd.Series(s, index=html.index, dtype="object")
-    mask = s.notna()
-    stripped = s[mask].astype("string").str.replace(r"<[^>]*>", "", regex=True)
-    stripped = _unescape(stripped)
-    out = pd.Series([None] * len(s), index=s.index, dtype="object")
-    out[mask] = stripped.astype(object)
-    return out
+    """HTML(binary, UTF-8) -> extracted text. Fully vectorized on
+    pyarrow.compute (RE2 tag-strip + literal entity unescape, C++ kernels
+    — multi-GB/s, zero per-row Python). Byte-stable and deterministic:
+    fixed UTF-8 decode, one anchored regex, fixed unescape order. Falls
+    back to a pure-pandas path only for non-UTF-8 payloads."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(html, type=pa.binary(), from_pandas=True)
+    try:
+        s = arr.cast(pa.string())  # strict UTF-8 validation
+    except pa.ArrowInvalid:
+        # rare path: lossy decode, per-value (reference analogue: UTF-8
+        # fallback in MySqlValueConverters.java:381-399)
+        dec = html.map(lambda b: b.decode("utf-8", "replace")
+                       if isinstance(b, (bytes, bytearray)) else None)
+        s = pa.array(dec, type=pa.string(), from_pandas=True)
+    s = pc.replace_substring_regex(s, pattern="<[^>]*>", replacement="")
+    for raw, esc in reversed(_ESC):
+        s = pc.replace_substring(s, pattern=esc, replacement=raw)
+    return s.to_pandas()
 
 
 # BCP-47-ish normalization table (the subset our corpus uses, plus

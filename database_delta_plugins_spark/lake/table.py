@@ -9,13 +9,20 @@ scratch with Iceberg-equivalent *semantics*:
   data files per key-bucket; readers resolve ``_meta/CURRENT`` (swapped
   atomically via ``os.replace``) — atomic commits, time travel, and
   consistent reads for free.
-* **Key-bucketed copy-on-write MERGE**: rows are hash-bucketed on the
-  primary key (``pmod(xxhash64(url), num_buckets)``); a merge rewrites
-  only the buckets touched by the update batch. At 100 TB this is the
-  Iceberg ``bucket(N, url)`` partition transform: merge cost scales with
-  touched data, not table size, and the bucket function co-locates
-  update shuffles with table layout so the join never re-shuffles the
-  whole table.
+* **Key-bucketed MERGE, two write modes**: rows are hash-bucketed on
+  the primary key (``pmod(xxhash64(url), num_buckets)``; the Iceberg
+  ``bucket(N, url)`` partition transform).
+  - ``cow`` (copy-on-write): a merge joins updates against the touched
+    buckets and rewrites them — reads stay cheap (one segment/bucket),
+    writes cost O(touched buckets). Right when updates cluster.
+  - ``mor`` (merge-on-read, LSM-style): a merge only APPENDS the batch's
+    per-key winners as a new segment per bucket — write cost is
+    O(batch), independent of table size; reads resolve last-writer-wins
+    across the bucket's segment stack; ``compact()`` folds stacks back
+    to one segment. This is the 10^10-events ingest path: CoW would
+    rewrite the whole table every epoch once updates spread across all
+    buckets; MoR never does. (Iceberg MoR delete-file analogue, with
+    equality-delete semantics folded into the LWW reduce.)
 * **Soft deletes**: tombstone rows (``_is_deleted``) keep (key, _lsn,
   _seq) so out-of-order replay converges — mirrors the reference
   target's ``_is_deleted``/``_sequence_num`` bookkeeping
@@ -73,7 +80,10 @@ class LakeTable:
         key: str = "url",
         num_buckets: int = 16,
         properties: dict | None = None,
+        write_mode: str = "cow",
     ) -> "LakeTable":
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"write_mode must be cow|mor, got {write_mode!r}")
         path = path.rstrip("/")
         os.makedirs(f"{path}/_meta", exist_ok=False)
         fields = [
@@ -84,10 +94,11 @@ class LakeTable:
         if key not in [f["name"] for f in fields]:
             raise ValueError(f"key column {key!r} not in schema")
         snap = {
-            "format_version": 1,
+            "format_version": 2,
             "table_uuid": str(uuid.uuid4()),
             "version": 0,
             "key": key,
+            "write_mode": write_mode,
             "num_buckets": int(num_buckets),
             "last_field_id": len(fields),
             "current_schema_id": 0,
@@ -129,6 +140,10 @@ class LakeTable:
     @property
     def num_buckets(self) -> int:
         return self.snap["num_buckets"]
+
+    @property
+    def write_mode(self) -> str:
+        return self.snap.get("write_mode", "cow")
 
     def _schema_fields(self, schema_id: int | None = None) -> list[dict]:
         sid = self.snap["current_schema_id"] if schema_id is None else schema_id
@@ -179,14 +194,19 @@ class LakeTable:
             with open(f"{self.path}/_meta/v{version}.json") as f:
                 snap = json.load(f)
         cur = {f["id"]: f for f in snap["schemas"][str(snap["current_schema_id"])]}
-        # group files by schema_id
+        # group files by schema_id across all selected buckets' segments
         groups: dict[int, list[str]] = {}
+        multi_segment = False
         for b, info in snap["buckets"].items():
             if buckets is not None and int(b) not in buckets:
                 continue
-            groups.setdefault(info["schema_id"], []).extend(
-                f"{self.path}/{p}" for p in info["files"]
-            )
+            segs = info["segments"]
+            if len(segs) > 1:
+                multi_segment = True
+            for seg in segs:
+                groups.setdefault(seg["schema_id"], []).extend(
+                    f"{self.path}/{p}" for p in seg["files"]
+                )
         parts = []
         for sid, files in groups.items():
             if not files:
@@ -207,6 +227,20 @@ class LakeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if multi_segment:
+            # merge-on-read resolve: LWW per key across the segment stack
+            # (one shuffle; map-side partial combine). Keys are unique
+            # within a segment, so the reduce input per key is bounded by
+            # the stack depth — compact() bounds that.
+            key = snap["key"]
+            others = [c for c in out.columns if c != key]
+            winner = F.max_by(
+                F.struct(*[F.col(c) for c in others]),
+                F.struct(F.col("_lsn"), F.col("_seq")),
+            ).alias("_w")
+            out = out.groupBy(key).agg(winner).select(
+                key, *[F.col(f"_w.{c}").alias(c) for c in others]
+            )
         return out
 
     def read(self, include_deleted: bool = False, version: int | None = None) -> DataFrame:
@@ -271,6 +305,10 @@ class LakeTable:
             if ddl["name"] == snap["key"]:
                 raise ValueError("cannot drop key column")
             fields = [f for f in fields if f["name"] != ddl["name"]]
+        elif action == "truncate_table":
+            # DD4: metadata-only truncate — next snapshot references no
+            # files (old snapshots still time-travel to the data).
+            snap["buckets"] = {}
         else:
             raise ValueError(f"unknown ddl action {action!r}")
         new_sid = int(snap["current_schema_id"]) + 1
@@ -289,7 +327,7 @@ class LakeTable:
 
         ``updates`` columns: <payload per current schema> + op_type(I|U|D)
         + lsn + seq [+ ts_ms]. Rows need NOT be pre-deduped: a salted
-        two-stage LWW reduce runs first (A2). Semantics per key:
+        two-stage LWW reduce runs first (A2). Semantics per key (cow):
 
           WHEN MATCHED AND newer AND op='D'  -> tombstone
           WHEN MATCHED AND newer             -> UPDATE SET *
@@ -297,11 +335,17 @@ class LakeTable:
           WHEN NOT MATCHED AND op!='D'       -> INSERT
           WHEN NOT MATCHED AND op='D'        -> tombstone (out-of-order safe)
 
+        In ``mor`` mode the same end state is produced lazily: the batch's
+        winners (tombstones included) append as a segment and the
+        WHEN-MATCHED resolution happens in scan()'s read-time LWW reduce —
+        so ``rows_updated``/``conflicts_lost`` read 0 in mor lineage (the
+        conflicts haven't been *observed* yet; compact() materializes them).
+
         Exactly-once: if ``epoch_id`` was already committed, the merge is
         a no-op returning the recorded stats (epoch fencing, A3).
         Returns the lineage/commit record.
         """
-        from database_delta_plugins_spark.operators.lww import lww_reduce_salted
+        from database_delta_plugins_spark.operators.lww import lww_reduce_late
 
         key = self.key
         eid = str(epoch_id) if epoch_id is not None else None
@@ -326,8 +370,10 @@ class LakeTable:
         upd = upd.select(key, *[c for c in payload_names if c != key],
                          "op_type", "lsn", "seq", "ts_ms")
 
-        # A2: in-batch LWW winner per key (salted two-stage; skew-proof)
-        upd = lww_reduce_salted(upd, key=key)
+        # A2: in-batch LWW winner per key — late materialization (salted
+        # two-stage reduce over (key, lsn, seq) only; payload joins back,
+        # broadcast when small). Skew-proof AND payload-shuffle-free.
+        upd = lww_reduce_late(upd, key=key)
 
         # shape the post-apply row for each winner
         upd = upd.select(
@@ -344,36 +390,61 @@ class LakeTable:
             F.col("ts_ms").alias("_u_ingest_ms"),
         )
         upd = upd.withColumn("_bucket", self.bucket_expr(F.col(key)))
+        # persist: the shaped post-LWW updates feed both the affected-bucket
+        # listing and the merge join — without this the decode+LWW runs twice.
+        upd = upd.persist()
 
+        t0 = time.time()
         affected = [r["_bucket"] for r in upd.select("_bucket").distinct().collect()]
-        tgt = self.scan(buckets=affected).withColumnRenamed(key, "_t_key")
+        t_lww = time.time() - t0
 
-        u, t = upd.alias("u"), tgt.alias("t")
-        j = u.join(t, F.col(f"u.{key}") == F.col("t._t_key"), "full_outer")
+        if self.write_mode == "mor":
+            # LSM-style append: no target read/join — the batch's winners
+            # become a new segment per bucket; reads resolve LWW across
+            # the stack. Write cost O(batch) regardless of table size.
+            result = upd.select(
+                F.col(key),
+                *[F.col(c) for c in payload_names if c != key],
+                F.col("_u_lsn").alias("_lsn"),
+                F.col("_u_seq").alias("_seq"),
+                F.col("_u_deleted").alias("_is_deleted"),
+                F.col("_u_ingest_ms").alias("_ingest_ms"),
+                F.lit(True).alias("_took_update"),
+                F.lit(False).alias("_matched"),
+                F.col("_bucket"),
+            )
+        else:
+            tgt = self.scan(buckets=affected).withColumnRenamed(key, "_t_key")
+            result = None
 
-        u_newer = (
-            F.col("t._t_key").isNull()
-            | (F.col("u._u_lsn") > F.col("t._lsn"))
-            | ((F.col("u._u_lsn") == F.col("t._lsn")) & (F.col("u._u_seq") >= F.col("t._seq")))
-        )
-        take_u = F.col(f"u.{key}").isNotNull() & u_newer
+        if result is None:
+            u, t = upd.alias("u"), tgt.alias("t")
+            j = u.join(t, F.col(f"u.{key}") == F.col("t._t_key"), "full_outer")
 
-        result = j.select(
-            F.when(take_u, F.col(f"u.{key}")).otherwise(F.col("t._t_key")).alias(key),
-            *[
-                F.when(take_u, F.col(f"u.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
-                for c in payload_names if c != key
-            ],
-            F.when(take_u, F.col("u._u_lsn")).otherwise(F.col("t._lsn")).alias("_lsn"),
-            F.when(take_u, F.col("u._u_seq")).otherwise(F.col("t._seq")).alias("_seq"),
-            F.when(take_u, F.col("u._u_deleted")).otherwise(F.col("t._is_deleted")).alias("_is_deleted"),
-            F.when(take_u, F.col("u._u_ingest_ms")).otherwise(F.col("t._ingest_ms")).alias("_ingest_ms"),
-            take_u.alias("_took_update"),
-            (F.col(f"u.{key}").isNotNull() & F.col("t._t_key").isNotNull()).alias("_matched"),
-        )
-        result = result.withColumn("_bucket", self.bucket_expr(F.col(key)))
+            u_newer = (
+                F.col("t._t_key").isNull()
+                | (F.col("u._u_lsn") > F.col("t._lsn"))
+                | ((F.col("u._u_lsn") == F.col("t._lsn")) & (F.col("u._u_seq") >= F.col("t._seq")))
+            )
+            take_u = F.col(f"u.{key}").isNotNull() & u_newer
+
+            result = j.select(
+                F.when(take_u, F.col(f"u.{key}")).otherwise(F.col("t._t_key")).alias(key),
+                *[
+                    F.when(take_u, F.col(f"u.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+                    for c in payload_names if c != key
+                ],
+                F.when(take_u, F.col("u._u_lsn")).otherwise(F.col("t._lsn")).alias("_lsn"),
+                F.when(take_u, F.col("u._u_seq")).otherwise(F.col("t._seq")).alias("_seq"),
+                F.when(take_u, F.col("u._u_deleted")).otherwise(F.col("t._is_deleted")).alias("_is_deleted"),
+                F.when(take_u, F.col("u._u_ingest_ms")).otherwise(F.col("t._ingest_ms")).alias("_ingest_ms"),
+                take_u.alias("_took_update"),
+                (F.col(f"u.{key}").isNotNull() & F.col("t._t_key").isNotNull()).alias("_matched"),
+            )
+            result = result.withColumn("_bucket", self.bucket_expr(F.col(key)))
         result = result.persist()
         try:
+            t0 = time.time()
             stats_rows = result.groupBy("_bucket").agg(
                 F.count(F.lit(1)).alias("rows"),
                 F.min("_lsn").alias("min_lsn"),
@@ -383,6 +454,7 @@ class LakeTable:
                 F.sum((F.col("_matched") & ~F.col("_took_update")).cast("long")).alias("conflicts_lost"),
                 F.sum((F.col("_matched") & F.col("_took_update")).cast("long")).alias("updated"),
             ).collect()
+            t_join = time.time() - t0
 
             new_version = self.version + 1
             # unique data dir per attempt: the exclusive v{N}.json create in
@@ -390,6 +462,7 @@ class LakeTable:
             # writer's orphan data dir is never referenced by any snapshot.
             commit_rel = f"data/commit-{new_version}-{uuid.uuid4().hex[:8]}"
             commit_dir = f"{self.path}/{commit_rel}"
+            t0 = time.time()
             (
                 result.drop("_took_update", "_matched")
                 .repartition(max(len(affected), 1), "_bucket")
@@ -397,10 +470,13 @@ class LakeTable:
                 .mode("errorifexists")
                 .parquet(commit_dir)
             )
+            t_write = time.time() - t0
         finally:
             result.unpersist()
+            upd.unpersist()
 
-        # manifest update: affected buckets now point at the new files
+        # manifest update: cow replaces the bucket's segment stack with the
+        # merged segment; mor appends the batch segment to the stack.
         snap = json.loads(json.dumps(self.snap))
         per_bucket = {int(r["_bucket"]): r for r in stats_rows}
         for b in affected:
@@ -411,13 +487,17 @@ class LakeTable:
                 if fn.endswith(".parquet")
             )
             st = per_bucket.get(int(b))
-            snap["buckets"][str(b)] = {
+            segment = {
                 "files": files,
                 "schema_id": snap["current_schema_id"],
                 "rows": int(st["rows"]) if st else 0,
                 "min_lsn": int(st["min_lsn"]) if st and st["min_lsn"] is not None else None,
                 "max_lsn": int(st["max_lsn"]) if st and st["max_lsn"] is not None else None,
             }
+            if self.write_mode == "mor" and str(b) in snap["buckets"]:
+                snap["buckets"][str(b)]["segments"].append(segment)
+            else:
+                snap["buckets"][str(b)] = {"segments": [segment]}
 
         applied = sum(int(r["applied"]) for r in stats_rows)
         lineage = {
@@ -431,6 +511,8 @@ class LakeTable:
             "min_lsn": min((int(r["min_lsn"]) for r in stats_rows if r["min_lsn"] is not None), default=None),
             "max_lsn": max((int(r["max_lsn"]) for r in stats_rows if r["max_lsn"] is not None), default=None),
             "ts_ms": int(time.time() * 1000),
+            "phase_sec": {"lww": round(t_lww, 2), "join_stats": round(t_join, 2),
+                          "write": round(t_write, 2)},
         }
         if extra_lineage:
             lineage.update(extra_lineage)
@@ -439,6 +521,86 @@ class LakeTable:
         snap["version"] = new_version
         self._write_snapshot(snap)
         return lineage
+
+    # -------------------------------------------------------- maintenance
+    def compact(self, max_segments_per_bucket: int = 1) -> dict:
+        """Segment-stack compaction: fold every bucket holding more than
+        ``max_segments_per_bucket`` segments into one LWW-resolved segment
+        (tombstones preserved — they must keep suppressing late arrivals
+        until snapshot expiry). For mor tables this bounds read-time
+        reduce fan-in; at 100 TB it is the scheduled maintenance job
+        (Iceberg rewrite_data_files analogue)."""
+        over = [int(b) for b, info in self.snap["buckets"].items()
+                if len(info["segments"]) > max_segments_per_bucket]
+        if not over:
+            return {"buckets_compacted": [], "version": self.version}
+        # scan() resolves LWW across segments when stacks are deep
+        df = self.scan(buckets=over).withColumn("_bucket", self.bucket_expr(F.col(self.key)))
+        new_version = self.version + 1
+        commit_rel = f"data/compact-{new_version}-{uuid.uuid4().hex[:8]}"
+        commit_dir = f"{self.path}/{commit_rel}"
+        (
+            df.repartition(max(len(over), 1), "_bucket")
+            .write.partitionBy("_bucket")
+            .mode("errorifexists")
+            .parquet(commit_dir)
+        )
+        snap = json.loads(json.dumps(self.snap))
+        for b in over:
+            bdir = f"{commit_dir}/_bucket={b}"
+            files = sorted(
+                f"{commit_rel}/_bucket={b}/{fn}"
+                for fn in (os.listdir(bdir) if os.path.isdir(bdir) else [])
+                if fn.endswith(".parquet")
+            )
+            old_segments = snap["buckets"][str(b)]["segments"]
+            snap["buckets"][str(b)] = {"segments": [{
+                "files": files,
+                "schema_id": snap["current_schema_id"],
+                "rows": None,
+                "min_lsn": min((s["min_lsn"] for s in old_segments
+                                if s["min_lsn"] is not None), default=None),
+                "max_lsn": max((s["max_lsn"] for s in old_segments
+                                if s["max_lsn"] is not None), default=None),
+            }]}
+        snap["version"] = new_version
+        self._write_snapshot(snap)
+        return {"buckets_compacted": over, "version": new_version}
+
+    def expire_snapshots(self, keep_last: int = 3) -> dict:
+        """Delete data files and metadata unreferenced by the most recent
+        ``keep_last`` snapshots (time travel beyond that horizon stops
+        working — standard retention semantics)."""
+        meta = f"{self.path}/_meta"
+        versions = sorted(
+            int(fn[1:-5]) for fn in os.listdir(meta)
+            if fn.startswith("v") and fn.endswith(".json")
+        )
+        keep = set(versions[-keep_last:]) | {self.version}
+        referenced: set[str] = set()
+        for v in keep:
+            with open(f"{meta}/v{v}.json") as f:
+                s = json.load(f)
+            for info in s["buckets"].values():
+                for seg in info["segments"]:
+                    referenced.update(seg["files"])
+        removed_files = 0
+        data_root = f"{self.path}/data"
+        if os.path.isdir(data_root):
+            for dirpath, _dirs, files in os.walk(data_root):
+                for fn in files:
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(full, self.path)
+                    if fn.endswith(".parquet") and rel not in referenced:
+                        os.remove(full)
+                        removed_files += 1
+        removed_meta = 0
+        for v in versions:
+            if v not in keep:
+                os.remove(f"{meta}/v{v}.json")
+                removed_meta += 1
+        return {"removed_files": removed_files, "removed_snapshots": removed_meta,
+                "kept_versions": sorted(keep)}
 
     # ------------------------------------------------------------- utility
     def history(self) -> list[dict]:

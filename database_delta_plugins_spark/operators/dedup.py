@@ -8,10 +8,11 @@ Spark-first shapes:
                  buckets only* -> exact-Jaccard verify. The band join is
                  the scale path: candidate pairs ~ O(collisions), never
                  O(n²).
-* simhash      — vectorized Arrow UDF (numpy bit-packing) producing a
-                 64-bit fingerprint; near-dup candidates via 4×16-bit
-                 chunk buckets (Hamming<=3 ⇒ some chunk equal by
-                 pigeonhole).
+* simhash      — 64-bit fingerprint as a pure Catalyst expression
+                 (xxhash64 token hashes, higher-order-function bit
+                 counting — JVM codegen, no Python); near-dup candidates
+                 via 4×16-bit chunk buckets (Hamming<=3 ⇒ some chunk
+                 equal by pigeonhole).
 * ngram_jaccard— exact Jaccard on shingle sets for candidate pairs.
 
 At 100 TB: every stage shuffles on a bounded key (fingerprint, band
@@ -23,12 +24,8 @@ guard.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
 from pyspark.sql.window import Window
 
 # deterministic 64 hash-function params. Modulus 2^31-1 keeps every
@@ -166,30 +163,41 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-@pandas_udf(LongType())
-def simhash64(text: pd.Series) -> pd.Series:
-    """64-bit SimHash fingerprint — vectorized Arrow UDF (numpy bit ops;
-    the per-token hash is FNV-1a over UTF-8, deterministic everywhere)."""
-    out = np.zeros(len(text), dtype=np.int64)
-    for i, t in enumerate(text):
-        if not isinstance(t, str) or not t:
-            continue
-        toks = t.lower().split()
-        if not toks:
-            continue
-        hs = np.empty(len(toks), dtype=np.uint64)
-        for j, tok in enumerate(toks):
-            h = np.uint64(0xCBF29CE484222325)
-            for byt in tok.encode("utf-8"):
-                h = np.uint64((int(h) ^ byt) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-            hs[j] = h
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        v = (2 * bits - 1).sum(axis=0)
-        fp = np.uint64(0)
-        for b in np.nonzero(v > 0)[0]:
-            fp |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(fp.astype(np.int64))
-    return pd.Series(out)
+# powers of two as signed-64 literals; bit 63 = min-long keeps the sum a
+# valid two's-complement bit pattern (bits are distinct, so sum == OR).
+_POW2 = [1 << i for i in range(63)] + [-(1 << 63)]
+
+
+def simhash64(text_col) -> F.Column:
+    """64-bit SimHash fingerprint — pure Catalyst expression (token hash
+    = xxhash64, JVM-side, whole-stage-codegen; no Python in the path).
+
+    counts[i] = sum over tokens of (bit i of xxhash64(token) ? +1 : -1);
+    fingerprint bit i set iff counts[i] > 0.
+    """
+    toks = F.split(F.lower(F.trim(text_col)), "\\s+")
+    hs = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_signs(h):
+        # unrolled: shift amounts must be literals
+        return F.array(*[
+            F.when(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            for i in range(64)
+        ])
+
+    counts = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(acc, bit_signs(h), lambda a, b: a + b),
+    )
+    powers = F.array(*[F.lit(p).cast("long") for p in _POW2])
+    return F.aggregate(
+        F.zip_with(counts, powers,
+                   lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
 
 
 def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
@@ -198,6 +206,7 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
     (pigeonhole: hamming<=3 over 64 bits ⇒ at least one of 4 chunks is
     identical), verify Hamming distance with bit_count."""
     fp = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp"))
+    fp = fp.filter(F.col("fp").isNotNull())
     chunks = fp.select(
         "id", "fp",
         F.posexplode(F.array(*[

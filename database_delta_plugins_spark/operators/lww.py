@@ -49,6 +49,38 @@ def lww_reduce(df: DataFrame, key: str = "url",
     return out.select(key, *[F.col(f"_w.{c}").alias(c) for c in payload_cols])
 
 
+def lww_reduce_late(df: DataFrame, key: str = "url",
+                    salt_buckets: int = 64) -> DataFrame:
+    """Late-materialization LWW: the winner per key is decided over ONLY
+    (key, lsn, seq) — column pruning reaches the scan, so the wide
+    payload (html!) never enters the reduce shuffle — then winners join
+    back to fetch payloads. The winner set is one row per key, so
+    Catalyst/AQE broadcasts it when small: the payload side often
+    shuffles ZERO times.
+
+    The tiny-column reduce is salted two-stage (hot-url skew costs
+    almost nothing on 24-byte rows; the stage-2 fan-in is bounded by
+    salt_buckets per key). Requires (lsn, seq) unique per key within the
+    batch — true of any real WAL and of our generator.
+
+    At 100 TB this beats payload-through-the-shuffle LWW by the payload
+    width: 2 shuffles of N×4KB become 2 shuffles of N×24B + at most one
+    of W×4KB (W = distinct keys), or none when W broadcasts.
+    """
+    ord_s = _ord()
+    tiny = df.select(key, *ORDER_COLS).withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in ORDER_COLS]), F.lit(salt_buckets))
+    )
+    s1 = tiny.groupBy(key, "_salt").agg(F.max(ord_s).alias("_w"))
+    winners = s1.groupBy(key).agg(F.max("_w").alias("_w"))
+    j = df.join(
+        winners.withColumnRenamed(key, "_w_key"),
+        (F.col(key) == F.col("_w_key")) & (ord_s == F.col("_w")),
+        "inner",
+    )
+    return j.select(*df.columns)
+
+
 def lww_reduce_salted(df: DataFrame, key: str = "url",
                       payload_cols: list[str] | None = None,
                       salt_buckets: int = 64) -> DataFrame:

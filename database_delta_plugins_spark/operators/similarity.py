@@ -94,6 +94,38 @@ def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     )
 
 
+def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             n_cells: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) ANN: partition vectors into ``n_cells`` KMeans
+    cells (MLlib KMeans||, seeded — deterministic), then scan only the
+    ``nprobe`` cells whose centroids are nearest the query.
+
+    The 100 TB shape: the index assignment is a one-off batch job whose
+    output (cell id) is a partition column; a query prunes to
+    nprobe/n_cells of the data at the scan (partition pruning), then
+    brute-forces within. Candidate count ~ n * nprobe / n_cells.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.withColumn("_v", array_to_vector(F.col(vec_col)))
+    model = KMeans(k=n_cells, seed=42, featuresCol="_v", predictionCol="_cell").fit(feat)
+    assigned = model.transform(feat)
+
+    q = np.asarray(query_vec, dtype=float)
+    centers = model.clusterCenters()
+    sims = [
+        float(np.dot(c, q) / (np.linalg.norm(c) * np.linalg.norm(q) + 1e-12))
+        for c in centers
+    ]
+    probes = sorted(range(len(centers)), key=lambda i: -sims[i])[:nprobe]
+
+    cand = assigned.filter(F.col("_cell").isin(probes)).drop("_v", "_cell")
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def cosine_neardup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
                          bits: int = 8, id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:

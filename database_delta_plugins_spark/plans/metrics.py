@@ -1,0 +1,51 @@
+"""Streaming health + throughput metrics (SURVEY.md §2.5 C2/C3).
+
+The reference reports per-record health (`context.setOK`) and propagates
+engine death via a completion callback (mysql/MySqlRecordConsumer.java:
+115-119; common/NotifyingCompletionCallback.java:38-50). The Spark
+analogue: a StreamingQueryListener collecting per-micro-batch progress
+(rows, duration, rows/sec) and terminal exceptions; hard failures
+propagate as exceptions out of foreachBatch (failing the query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+class ThroughputListener(StreamingQueryListener):
+    """Collects per-batch progress + terminal state for one session."""
+
+    def __init__(self):
+        self.progress: list[dict] = []
+        self.terminated: list[dict] = []
+
+    def onQueryStarted(self, event):
+        pass
+
+    def onQueryProgress(self, event):
+        p = event.progress
+        self.progress.append({
+            "query_id": str(p.id),
+            "batch_id": p.batchId,
+            "num_input_rows": p.numInputRows,
+            "input_rows_per_sec": p.inputRowsPerSecond,
+            "process_rows_per_sec": p.processedRowsPerSecond,
+            "duration_ms": dict(p.durationMs or {}),
+        })
+
+    def onQueryIdle(self, event):
+        pass
+
+    def onQueryTerminated(self, event):
+        self.terminated.append({
+            "query_id": str(event.id),
+            "exception": event.exception,
+        })
+
+    # ----- summaries -----
+    def total_rows(self) -> int:
+        return sum(p["num_input_rows"] for p in self.progress)
+
+    def failed(self) -> bool:
+        return any(t["exception"] for t in self.terminated)

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from database_delta_plugins_spark.functions.udfs import synth_html
+from database_delta_plugins_spark.functions.udfs import make_synth_html
 
 EPOCH_TS = "2024-01-01 00:00:00"
 EPOCH_MS = 1704067200000
@@ -174,6 +174,7 @@ def rich_events_df(
     hot_url_pct: int = 10,
     n_hot_urls: int = 5,
     with_html: bool = True,
+    html_pad_bytes: int = 0,
 ) -> DataFrame:
     """Nested-envelope change-event log: (lsn, seq, op, table_name,
     before:struct, after:struct, ts_ms, is_snapshot, txn_id, ddl).
@@ -235,9 +236,10 @@ def rich_events_df(
         )
     )
     if with_html:
+        synth = make_synth_html(html_pad_bytes)
         e = (
-            e.withColumn("cur_html", synth_html(F.col("cur_text"), F.col("lang")))
-            .withColumn("prev_html", synth_html(F.col("prev_text"), F.col("lang")))
+            e.withColumn("cur_html", synth(F.col("cur_text"), F.col("lang")))
+            .withColumn("prev_html", synth(F.col("prev_text"), F.col("lang")))
         )
     else:
         e = (
@@ -293,17 +295,31 @@ def write_event_log(
     n_files: int = 8,
     ddls: list[tuple[int, str]] | None = None,
     hot_url_pct: int = 10,
+    html_pad_bytes: int = 0,
+    with_html: bool = True,
 ) -> int:
     """Materialize the rich event log as ``n_files`` lsn-range-ordered
     parquet chunks (the binlog-file analogue) for file-based streaming.
-    Returns event count."""
-    e = rich_events_df(spark, sf_dir, revs=revs, hot_url_pct=hot_url_pct)
+    Returns event count.
+
+    html synthesis happens AFTER the range-sort (struct withField on the
+    sorted rows): sorting html-free rows keeps the exchange tiny; the
+    heavy page bytes are generated map-side on the way into the writer."""
+    e = rich_events_df(spark, sf_dir, revs=revs, hot_url_pct=hot_url_pct,
+                       with_html=False)
     if ddls:
         e = e.unionByName(ddl_events_df(spark, ddls))
-    (
-        e.repartitionByRange(n_files, "lsn")
-        .sortWithinPartitions("lsn", "seq")
-        .write.mode("overwrite")
-        .parquet(out_dir)
-    )
+    e = e.repartitionByRange(n_files, "lsn").sortWithinPartitions("lsn", "seq")
+    if with_html:
+        synth = make_synth_html(html_pad_bytes)
+
+        def inject(col_name: str):
+            st = F.col(col_name)
+            return F.when(
+                st.isNotNull(),
+                st.withField("html", synth(st.getField("text"), st.getField("lang"))),
+            )
+
+        e = e.withColumn("after", inject("after")).withColumn("before", inject("before"))
+    e.write.mode("overwrite").parquet(out_dir)
     return spark.read.parquet(out_dir).count()

@@ -84,7 +84,31 @@ class CDCPipeline:
         normalize_lang: bool = False,
         salt_buckets: int = 64,
         payload_schema: T.StructType = PAGES_SCHEMA,
+        runtime_args: dict[str, str] | None = None,
+        write_mode: str = "mor",
+        compact_every: int = 8,
     ):
+        # C4: runtime args prefixed 'source.connector.' override knobs
+        # (reference: RuntimeArguments.java:37-45 applied at
+        # MySqlEventReader.java:135-138)
+        if runtime_args:
+            from database_delta_plugins_spark.common import merge_pipeline_config
+
+            cfg = merge_pipeline_config(
+                {
+                    "max_files_per_trigger": max_files_per_trigger,
+                    "num_buckets": num_buckets,
+                    "salt_buckets": salt_buckets,
+                    "derive_text_from_html": derive_text_from_html,
+                    "normalize_lang": normalize_lang,
+                },
+                runtime_args,
+            )
+            max_files_per_trigger = cfg["max_files_per_trigger"]
+            num_buckets = cfg["num_buckets"]
+            salt_buckets = cfg["salt_buckets"]
+            derive_text_from_html = cfg["derive_text_from_html"]
+            normalize_lang = cfg["normalize_lang"]
         self.spark = spark
         self.event_log_dir = event_log_dir
         self.table_path = table_path
@@ -98,7 +122,13 @@ class CDCPipeline:
         self.normalize_lang = normalize_lang
         self.salt_buckets = salt_buckets
         self.payload_schema = payload_schema
+        # mor (merge-on-read) is the ingest default: appends scale with
+        # batch size, not table size; compaction runs every N epochs to
+        # bound the read-time segment stack.
+        self.write_mode = write_mode
+        self.compact_every = compact_every
         self.epoch_lineage: list[dict] = []
+        self.listener = None
 
     # ----------------------------------------------------------- bootstrap
     def bootstrap(self, replicate_existing_data: bool = True,
@@ -113,7 +143,8 @@ class CDCPipeline:
             t = LakeTable.load(self.spark, self.table_path)
         else:
             t = LakeTable.create(self.spark, self.table_path, self.payload_schema,
-                                 key=self.key, num_buckets=self.num_buckets)
+                                 key=self.key, num_buckets=self.num_buckets,
+                                 write_mode=self.write_mode)
         if replicate_existing_data and snapshot_df is not None:
             snap = (
                 snapshot_df
@@ -182,6 +213,10 @@ class CDCPipeline:
                 changed = table.apply_ddl(json.loads(ddl_json), lsn=lsn)
                 if changed:
                     table = table.refresh()
+        # bound the mor segment-stack depth
+        if (self.compact_every and isinstance(epoch_id, int)
+                and epoch_id > 0 and epoch_id % self.compact_every == 0):
+            table.compact(max_segments_per_bucket=1)
         self.epoch_lineage.extend(out)
         return out
 
@@ -193,10 +228,16 @@ class CDCPipeline:
             .parquet(self.event_log_dir)
         )
 
-    def start(self, available_now: bool = True):
-        """C1 lifecycle: returns the StreamingQuery (stop() to halt)."""
+    def start(self, available_now: bool = True, with_metrics: bool = False):
+        """C1 lifecycle: returns the StreamingQuery (stop() to halt).
+        with_metrics attaches a ThroughputListener (C3 health/metrics)."""
         if not LakeTable.exists(self.table_path):
             self.bootstrap(replicate_existing_data=False)
+        if with_metrics and self.listener is None:
+            from database_delta_plugins_spark.plans.metrics import ThroughputListener
+
+            self.listener = ThroughputListener()
+            self.spark.streams.addListener(self.listener)
         writer = (
             self.read_stream()
             .writeStream.foreachBatch(lambda df, eid: self.apply_batch(df, eid))

@@ -1,0 +1,102 @@
+"""Lake maintenance: compaction, snapshot expiry, truncate DDL —
+and merge-on-read (mor) state equivalence with copy-on-write (cow)."""
+import os
+
+from pyspark.sql import functions as F
+
+from database_delta_plugins_spark.lake.table import LakeTable
+from tests.test_lake import SCHEMA, _mk, _upd
+
+
+def _mk_mor(spark, tmp_path, name="m", num_buckets=2):
+    return LakeTable.create(spark, str(tmp_path / name), SCHEMA, key="url",
+                            num_buckets=num_buckets, write_mode="mor")
+
+
+def _epochs(spark, t):
+    batches = [
+        [("a", "a1", "en", "I", 1, 0), ("b", "b1", "de", "I", 2, 0)],
+        [("a", "a2", "en", "U", 3, 0), ("c", "c1", "fr", "I", 4, 0)],
+        [("b", None, None, "D", 5, 0), ("d", "d1", "es", "I", 6, 0)],
+        [("a", "a3", "en", "U", 7, 0)],
+    ]
+    for e, rows in enumerate(batches):
+        t.merge(_upd(spark, rows), epoch_id=e)
+        t = t.refresh()
+    return t
+
+
+def test_mor_equals_cow_state(spark, tmp_path):
+    tc = _epochs(spark, _mk(spark, tmp_path, "cow_t", num_buckets=2))
+    tm = _epochs(spark, _mk_mor(spark, tmp_path, "mor_t"))
+    a = tc.read().orderBy("url").collect()
+    b = tm.read().orderBy("url").collect()
+    assert a == b
+    assert {r["url"]: r["text"] for r in b} == {"a": "a3", "c": "c1", "d": "d1"}
+    # mor appended segments instead of rewriting
+    assert any(len(i["segments"]) > 1 for i in tm.snap["buckets"].values())
+    assert all(len(i["segments"]) == 1 for i in tc.snap["buckets"].values())
+
+
+def test_mor_stale_update_loses_at_read(spark, tmp_path):
+    t = _mk_mor(spark, tmp_path)
+    t.merge(_upd(spark, [("a", "new", "en", "I", 10, 0)]), epoch_id=1)
+    t = t.refresh()
+    t.merge(_upd(spark, [("a", "stale", "en", "U", 5, 0)]), epoch_id=2)
+    t = t.refresh()
+    assert t.read().head()["text"] == "new"
+    # delete-then-late-update stays dead (tombstone wins at read)
+    t.merge(_upd(spark, [("a", None, None, "D", 20, 0)]), epoch_id=3)
+    t = t.refresh()
+    t.merge(_upd(spark, [("a", "late", "en", "U", 15, 0)]), epoch_id=4)
+    t = t.refresh()
+    assert t.read().count() == 0
+
+
+def test_compact_folds_mor_stack(spark, tmp_path):
+    t = _epochs(spark, _mk_mor(spark, tmp_path))
+    before = t.read().orderBy("url").collect()
+    assert any(len(i["segments"]) > 1 for i in t.snap["buckets"].values())
+    res = t.compact(max_segments_per_bucket=1)
+    assert res["buckets_compacted"]
+    t = t.refresh()
+    assert all(len(i["segments"]) == 1 for i in t.snap["buckets"].values())
+    assert t.read().orderBy("url").collect() == before
+    # idempotent while nothing new arrived
+    assert t.compact(max_segments_per_bucket=1)["buckets_compacted"] == []
+    # tombstones survive compaction (late arrival still suppressed)
+    t.merge(_upd(spark, [("b", "late", "de", "U", 3, 0)]), epoch_id="late")
+    t = t.refresh()
+    assert "b" not in {r["url"] for r in t.read().collect()}
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    t = _mk(spark, tmp_path, num_buckets=2)
+    for e in range(5):
+        t.merge(_upd(spark, [("a", f"v{e}", "en", "U" if e else "I", e, 0)]), epoch_id=e)
+        t = t.refresh()
+    state = t.read().collect()
+    res = t.expire_snapshots(keep_last=2)
+    assert res["removed_snapshots"] > 0 and res["removed_files"] > 0
+    t2 = LakeTable.load(spark, t.path)
+    assert t2.read().collect() == state
+    for info in t2.snap["buckets"].values():
+        for seg in info["segments"]:
+            for f in seg["files"]:
+                assert os.path.exists(os.path.join(t2.path, f))
+
+
+def test_truncate_table_ddl(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(_upd(spark, [("a", "v", "en", "I", 1, 0)]), epoch_id=1)
+    t = t.refresh()
+    v_before = t.version
+    assert t.apply_ddl({"action": "truncate_table"}, lsn=50)
+    t = t.refresh()
+    assert t.read().count() == 0
+    # time travel to pre-truncate still sees data
+    assert t.read(version=v_before).count() == 1
+    # inserts after truncate work
+    t.merge(_upd(spark, [("b", "w", "de", "I", 51, 0)]), epoch_id=2)
+    t = t.refresh()
+    assert t.read().count() == 1

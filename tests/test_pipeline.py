@@ -67,6 +67,37 @@ def test_matches_duckdb_sequential_oracle(spark, sf_dir, tmp_path):
     assert got.reset_index(drop=True).equals(oracle.reset_index(drop=True))
 
 
+def test_runtime_args_override(spark, tmp_path):
+    """C4: 'source.connector.'-prefixed args override pipeline knobs."""
+    p = CDCPipeline(
+        spark, str(tmp_path / "log"), str(tmp_path / "t"), str(tmp_path / "c"),
+        max_files_per_trigger=2, num_buckets=4,
+        runtime_args={
+            "source.connector.max_files_per_trigger": "9",
+            "source.connector.normalize_lang": "true",
+            "unprefixed": "ignored",
+        },
+    )
+    assert p.max_files_per_trigger == 9
+    assert p.normalize_lang is True
+    assert p.num_buckets == 4
+
+
+def test_metrics_listener(spark, sf_dir, tmp_path):
+    """C3: per-batch throughput metrics collected via listener."""
+    log = str(tmp_path / "log4")
+    write_event_log(spark, sf_dir, log, revs=2, n_files=2)
+    p = CDCPipeline(spark, log, str(tmp_path / "t4"), str(tmp_path / "c4"), num_buckets=4)
+    q = p.start(with_metrics=True)
+    q.awaitTermination(120)
+    deadline = time.time() + 30
+    while time.time() < deadline and p.listener.total_rows() == 0:
+        time.sleep(0.5)
+    assert p.listener.total_rows() > 0
+    assert not p.listener.failed()
+    spark.streams.removeListener(p.listener)
+
+
 def test_snapshot_then_tail(spark, sf_dir, tmp_path):
     """S1: replicate_existing_data seeds epoch 'snapshot'; tail events
     with higher lsn override snapshot rows (C5 restart rule: re-running

@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 from database_delta_plugins_spark.operators.similarity import (
     cosine_neardup_pairs,
     cosine_topk,
+    ivf_topk,
     lsh_bucket_topk,
 )
 
@@ -40,6 +41,19 @@ def test_lsh_topk_recall(spark, sf_dir):
     assert approx[0] == 0
     exact50 = set(_numpy_topk(pdf, qv, 50))
     assert len(set(approx) & exact50) >= 3
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    df = _emb(spark, sf_dir)
+    pdf = df.toPandas()
+    qv = list(pdf.loc[pdf.vec_id == 0, "embedding"].iloc[0])
+    got = [r["vec_id"] for r in ivf_topk(df, qv, k=10, n_cells=8, nprobe=3).collect()]
+    assert got[0] == 0  # the query's own vector is always found
+    exact = set(_numpy_topk(pdf, qv, 10))
+    assert len(set(got) & exact) >= 5  # decent recall with 3/8 cells probed
+    # deterministic: same result twice (seeded KMeans)
+    again = [r["vec_id"] for r in ivf_topk(df, qv, k=10, n_cells=8, nprobe=3).collect()]
+    assert got == again
 
 
 def test_neardup_finds_planted_duplicate(spark):

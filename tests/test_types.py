@@ -1,0 +1,89 @@
+"""Value-conversion semantics mirroring the reference's converter tests
+(RecordsTest.java:35-72 and MySqlValueConverters rules)."""
+import datetime
+
+from pyspark.sql import functions as F
+
+from database_delta_plugins_spark.functions.types import (
+    adjust_two_digit_year,
+    decode_enum,
+    decode_set,
+    json_canonical,
+    make_charset_decoder,
+    time_over_24h_micros,
+    widen_unsigned,
+    zero_date_to_null,
+)
+
+
+def test_two_digit_year(spark):
+    # 00-69 -> +2000, 70-99 -> +1900 (MySqlEventReader.java:215-225)
+    rows = [(datetime.date(69, 5, 1),), (datetime.date(70, 5, 1),),
+            (datetime.date(5, 12, 31),), (datetime.date(1999, 1, 1),)]
+    df = spark.createDataFrame(rows, ["d"])
+    got = [r["y"] for r in df.select(F.year(adjust_two_digit_year(F.col("d"))).alias("y"))
+           .collect()]
+    assert got == [2069, 1970, 2005, 1999]
+
+
+def test_zero_date_null(spark):
+    rows = [("0000-00-00",), ("0000-00-00 00:00:00",), ("2024-01-01",), (None,)]
+    df = spark.createDataFrame(rows, ["s"])
+    got = [r["o"] for r in df.select(zero_date_to_null(F.col("s")).alias("o")).collect()]
+    assert got == [None, None, "2024-01-01", None]
+
+
+def test_unsigned_widening(spark):
+    # tinyint->int … bigint->decimal(20,0) (MySqlValueConverters.java:270-300)
+    from decimal import Decimal
+
+    df = spark.createDataFrame([(255, 65535, 4294967295, Decimal(18446744073709551615))],
+                               "a long, b long, c long, d decimal(20,0)")
+    out = df.select(
+        widen_unsigned(F.col("a"), "tinyint").alias("a"),
+        widen_unsigned(F.col("b"), "smallint").alias("b"),
+        widen_unsigned(F.col("c"), "int").alias("c"),
+        widen_unsigned(F.col("d"), "bigint").alias("d"),
+    )
+    types = dict(out.dtypes)
+    assert types == {"a": "int", "b": "int", "c": "bigint", "d": "decimal(20,0)"}
+    r = out.head()
+    assert r["c"] == 4294967295 and int(r["d"]) == 18446744073709551615
+
+
+def test_enum_set_decode(spark):
+    labels = ["red", "green", "blue"]
+    df = spark.createDataFrame([(0, 0), (1, 1), (3, 5), (9, 7)], ["e", "m"])
+    out = df.select(
+        decode_enum(F.col("e"), labels).alias("e"),
+        decode_set(F.col("m"), labels).alias("m"),
+    ).collect()
+    # ENUM: 0 -> '', 1-based label, out of range -> null
+    assert [r["e"] for r in out] == ["", "red", "blue", None]
+    # SET: bitmask -> comma-joined labels
+    assert [r["m"] for r in out] == ["", "red", "red,blue", "red,green,blue"]
+
+
+def test_time_over_24h(spark):
+    df = spark.createDataFrame([(25, 30, 0)], ["h", "m", "s"])
+    got = df.select(time_over_24h_micros(F.col("h"), F.col("m"), F.col("s")).alias("us")).head()
+    assert got["us"] == (25 * 3600 + 30 * 60) * 1_000_000
+
+
+def test_json_canonical(spark):
+    rows = [('{"b":1, "a": 2}',), ("",), (None,), ("not json",)]
+    df = spark.createDataFrame(rows, ["j"])
+    got = [r["o"] for r in df.select(json_canonical(F.col("j")).alias("o")).collect()]
+    assert got == ['{"a":2,"b":1}', "{}", None, None]
+
+
+def test_charset_decode_with_fallback(spark):
+    latin1 = make_charset_decoder("latin-1")
+    rows = [(b"caf\xe9",), (None,)]
+    df = spark.createDataFrame(rows, "b binary")
+    got = [r["o"] for r in df.select(latin1(F.col("b")).alias("o")).collect()]
+    assert got == ["café", None]
+    # bogus charset falls back to utf-8 replace
+    bogus = make_charset_decoder("not-a-charset")
+    got2 = df.select(bogus(F.col("b")).alias("o")).collect()[0]["o"]
+    assert got2 == "caf�"

@@ -52,6 +52,26 @@ def test_html_is_binary_utf8(spark):
     assert "héllo".encode("utf-8") in row["h"]
 
 
+def test_padded_roundtrip_byte_identity(spark):
+    """Page-weight padding (realistic CC page sizes) must strip to zero
+    bytes: extract_text(synth_html_padded(t)) == t for any pad."""
+    from database_delta_plugins_spark.functions.udfs import make_synth_html
+
+    synth8k = make_synth_html(8192)
+    df = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(EDGE_TEXTS) if t is not None],
+        ["id", "text", "lang"],
+    )
+    out = (
+        df.withColumn("html", synth8k(F.col("text"), F.col("lang")))
+        .withColumn("rt", extract_text(F.col("html")))
+        .collect()
+    )
+    for r in out:
+        assert r["rt"] == r["text"]
+        assert len(r["html"]) >= 8192
+
+
 def test_norm_lang(spark):
     cases = [("EN-us", "en"), ("deu", "de"), (" French ", "fr"),
              ("zh-CN", "zh"), ("klingon", "und"), (None, "und")]

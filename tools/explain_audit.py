@@ -1,0 +1,91 @@
+"""Plan-quality audit: captures .explain('formatted') for the hot paths
+and checks the properties that matter at 100 TB — filter/column pushdown
+reaching the parquet scan, whole-stage codegen coverage, no cartesian
+products, broadcast where expected. Writes EXPLAIN.md."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from database_delta_plugins_spark.session import get_spark
+from database_delta_plugins_spark.operators import decode
+from database_delta_plugins_spark.operators.lww import lww_reduce_salted
+from database_delta_plugins_spark.operators.dedup import minhash_lsh_pairs
+from database_delta_plugins_spark.sources.generator import cdc_events_df
+
+SF = "/root/testdata/sf0.01"
+REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main():
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    sections = []
+    checks = []
+
+    # 1. decode + replay filter over a parquet event log: the lsn filter
+    # and column pruning must reach the scan.
+    log = "/tmp/audit_log"
+    ev = cdc_events_df(spark, SF)
+    ev.write.mode("overwrite").parquet(log)
+    raw = spark.read.parquet(log)
+    q1 = decode.filter_replayed(raw, 2000).select("url", "lsn")
+    p1 = plan_of(q1)
+    sections.append(("decode: replay filter + projection pushdown", q1, p1))
+    checks.append(("lsn filter pushed to scan", "PushedFilters: [IsNotNull(lsn), GreaterThan(lsn," in p1))
+    checks.append(("column pruning (ReadSchema only url,lsn)",
+                   bool(re.search(r"ReadSchema:.*struct<lsn:bigint,url:string>", p1))))
+
+    # 2. salted LWW reduce: two hash aggregates with partial combine; no sort.
+    q2 = lww_reduce_salted(
+        raw.select("url", "lsn", "seq", "after_text"), key="url")
+    p2 = plan_of(q2)
+    sections.append(("salted two-stage LWW reduce", q2, p2))
+    checks.append(("partial aggregation (map-side combine)", "partial_max_by" in p2 or "HashAggregate" in p2))
+    checks.append(("no global sort in LWW path", "Sort [" not in p2 or "SortAggregate" not in p2))
+    checks.append(("whole-stage codegen present", "WholeStageCodegen" in p2))
+
+    # 3. minhash LSH: band join must be a hash/sortmerge join on band keys,
+    # never a cartesian product.
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q3 = minhash_lsh_pairs(docs, threshold=0.8)
+    p3 = plan_of(q3)
+    sections.append(("minhash LSH band join", q3, p3))
+    checks.append(("no cartesian product in LSH join", "CartesianProduct" not in p3))
+
+    # 4. broadcast: small dim side should broadcast automatically.
+    small = spark.createDataFrame([("en",), ("de",)], ["lang"])
+    q4 = docs.join(small, "lang")
+    p4 = plan_of(q4)
+    sections.append(("small-side broadcast join", q4, p4))
+    checks.append(("broadcast hash join chosen", "BroadcastHashJoin" in p4))
+
+    with open(_os.path.join(REPO, "EXPLAIN.md"), "w") as f:
+        f.write("# EXPLAIN audit — hot-path physical plans\n\n")
+        f.write("Checks:\n\n")
+        for name, ok in checks:
+            f.write(f"- [{'x' if ok else ' '}] {name}\n")
+        for title, _df, plan in sections:
+            f.write(f"\n## {title}\n\n```\n{plan}\n```\n")
+
+    print("CHECKS:")
+    bad = 0
+    for name, ok in checks:
+        print(("PASS " if ok else "FAIL ") + name)
+        bad += (not ok)
+    spark.stop()
+    _sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
