@@ -50,7 +50,8 @@ def lww_reduce(df: DataFrame, key: str = "url",
 
 
 def lww_reduce_late(df: DataFrame, key: str = "url",
-                    salt_buckets: int = 64) -> DataFrame:
+                    salt_buckets: int = 64,
+                    broadcast_winners: bool = True) -> DataFrame:
     """Late-materialization LWW: the winner per key is decided over ONLY
     (key, lsn, seq) — column pruning reaches the scan, so the wide
     payload (html!) never enters the reduce shuffle — then winners join
@@ -73,8 +74,17 @@ def lww_reduce_late(df: DataFrame, key: str = "url",
     )
     s1 = tiny.groupBy(key, "_salt").agg(F.max(ord_s).alias("_w"))
     winners = s1.groupBy(key).agg(F.max("_w").alias("_w"))
+    # explicit broadcast: the winners' size can't be estimated through a
+    # pandas-UDF projection, so without the hint Catalyst picks
+    # sort-merge and SORTS the wide payload side — the exact thing this
+    # function exists to avoid. One winner row per key (~tens of bytes);
+    # disable only when distinct keys per batch exceed broadcast limits,
+    # which at that point should use lww_reduce_salted partitioned.
+    winners = winners.withColumnRenamed(key, "_w_key")
+    if broadcast_winners:
+        winners = F.broadcast(winners)
     j = df.join(
-        winners.withColumnRenamed(key, "_w_key"),
+        winners,
         (F.col(key) == F.col("_w_key")) & (ord_s == F.col("_w")),
         "inner",
     )

@@ -41,6 +41,21 @@ def test_salted_equals_plain_and_partitioning_invariance(spark, sf_dir):
         pd.testing.assert_frame_equal(got.reset_index(drop=True), plain.reset_index(drop=True))
 
 
+def test_adversarial_hot_key_skew(spark):
+    """One url carrying 90% of a batch (the north-rule hot-url case):
+    every LWW strategy must agree and pick the true max-(lsn,seq) row."""
+    from database_delta_plugins_spark.operators.lww import lww_reduce_late
+
+    n = 5000
+    rows = [(f"u{i % 10}" if i % 10 else "hot", f"t{i}", i, 0) for i in range(n)]
+    df = spark.createDataFrame(rows, ["url", "text", "lsn", "seq"]).repartition(16)
+    plain = {r["url"]: r["text"] for r in lww_reduce(df).collect()}
+    salted = {r["url"]: r["text"] for r in lww_reduce_salted(df, salt_buckets=32).collect()}
+    late = {r["url"]: r["text"] for r in lww_reduce_late(df, salt_buckets=32).collect()}
+    assert plain == salted == late
+    assert plain["hot"] == f"t{n - 10}"  # last multiple-of-10 lsn
+
+
 def test_lww_tie_break_on_seq(spark):
     rows = [("u", "old", 5, 1), ("u", "new", 5, 2), ("u", "older", 4, 9)]
     df = spark.createDataFrame(rows, ["url", "text", "lsn", "seq"])
