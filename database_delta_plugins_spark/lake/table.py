@@ -244,11 +244,21 @@ class LakeTable:
         return out
 
     def read(self, include_deleted: bool = False, version: int | None = None) -> DataFrame:
-        """User-facing view: payload columns, tombstones filtered."""
+        """User-facing view: payload columns, tombstones filtered.
+
+        Time travel projects the REQUESTED version's schema, not HEAD's —
+        scan(version=v) returns version-v columns, so selecting HEAD field
+        names would break across any add/rename/drop since v (Iceberg
+        semantics: a snapshot pins its schema)."""
         df = self.scan(version=version)
         if not include_deleted:
             df = df.filter(~F.col("_is_deleted"))
-        return df.select(*[f["name"] for f in self._schema_fields()])
+        snap = self.snap
+        if version is not None and version != snap["version"]:
+            with open(f"{self.path}/_meta/v{version}.json") as f:
+                snap = json.load(f)
+        fields = snap["schemas"][str(snap["current_schema_id"])]
+        return df.select(*[f["name"] for f in fields])
 
     # -------------------------------------------------------------- commits
     def _write_snapshot(self, snap: dict) -> None:
@@ -257,8 +267,26 @@ class LakeTable:
         target = f"{meta}/v{v}.json"
         # exclusive create = optimistic concurrency control: a concurrent
         # writer racing to the same version fails here, not silently.
-        with open(target, "x") as f:
-            json.dump(snap, f)
+        #
+        # Crash recovery: a process killed between creating v{N}.json and
+        # swapping CURRENT leaves an orphan v{N}.json that would deadlock
+        # every future commit at that version. Under the single-writer
+        # contract (C7), a v{N}.json that CURRENT does not reference is
+        # provably a dead attempt by *this* logical writer's previous
+        # incarnation — unlink it and retry once. A genuinely concurrent
+        # writer is still detected in the common case: its completed
+        # commit advances CURRENT to >= N first, and we raise.
+        try:
+            fh = open(target, "x")
+        except FileExistsError:
+            with open(f"{meta}/CURRENT") as f:
+                cur = int(f.read().strip())
+            if cur >= v:
+                raise
+            os.unlink(target)  # orphan from a crashed attempt
+            fh = open(target, "x")
+        with fh:
+            json.dump(snap, fh)
         tmp = f"{meta}/.CURRENT.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(str(v))
@@ -322,7 +350,8 @@ class LakeTable:
 
     # ---------------------------------------------------------------- merge
     def merge(self, updates: DataFrame, epoch_id: str | int | None = None,
-              extra_lineage: dict | None = None) -> dict:
+              extra_lineage: dict | None = None,
+              transform=None) -> dict:
         """Key-partitioned copy-on-write MERGE (SURVEY.md §2.4 A1-A3).
 
         ``updates`` columns: <payload per current schema> + op_type(I|U|D)
@@ -344,6 +373,14 @@ class LakeTable:
         Exactly-once: if ``epoch_id`` was already committed, the merge is
         a no-op returning the recorded stats (epoch fencing, A3).
         Returns the lineage/commit record.
+
+        ``transform``: optional DataFrame -> DataFrame applied AFTER the
+        LWW winner selection — late materialization for expensive
+        per-record work (pandas-UDF text extraction): deterministic
+        row-wise transforms commute with winner selection (winners depend
+        only on (key, lsn, seq)), so running them post-reduce is
+        semantically identical and costs O(winners), not O(batch). At
+        bench skew (~240 revisions/key) that is a ~200x compute cut.
         """
         from database_delta_plugins_spark.operators.lww import lww_reduce_late
 
@@ -374,6 +411,11 @@ class LakeTable:
         # two-stage reduce over (key, lsn, seq) only; payload joins back,
         # broadcast when small). Skew-proof AND payload-shuffle-free.
         upd = lww_reduce_late(upd, key=key)
+        if transform is not None:
+            upd = transform(upd)
+            # re-assert the merge contract after user code
+            upd = upd.select(key, *[c for c in payload_names if c != key],
+                             "op_type", "lsn", "seq", "ts_ms")
 
         # shape the post-apply row for each winner
         upd = upd.select(
@@ -390,18 +432,16 @@ class LakeTable:
             F.col("ts_ms").alias("_u_ingest_ms"),
         )
         upd = upd.withColumn("_bucket", self.bucket_expr(F.col(key)))
-        # persist: the shaped post-LWW updates feed both the affected-bucket
-        # listing and the merge join — without this the decode+LWW runs twice.
-        upd = upd.persist()
 
-        t0 = time.time()
-        affected = [r["_bucket"] for r in upd.select("_bucket").distinct().collect()]
-        t_lww = time.time() - t0
-
+        upd_persisted = None
         if self.write_mode == "mor":
             # LSM-style append: no target read/join — the batch's winners
             # become a new segment per bucket; reads resolve LWW across
             # the stack. Write cost O(batch) regardless of table size.
+            # The affected-bucket list falls out of the stats agg below —
+            # no separate distinct().collect() pass (one less job/epoch;
+            # per-epoch fixed cost is what bounds streaming throughput).
+            t_lww = 0.0
             result = upd.select(
                 F.col(key),
                 *[F.col(c) for c in payload_names if c != key],
@@ -414,6 +454,14 @@ class LakeTable:
                 F.col("_bucket"),
             )
         else:
+            # persist: the shaped post-LWW updates feed both the
+            # affected-bucket listing and the merge join — without this
+            # the decode+LWW runs twice.
+            upd = upd.persist()
+            upd_persisted = upd
+            t0 = time.time()
+            affected = [r["_bucket"] for r in upd.select("_bucket").distinct().collect()]
+            t_lww = time.time() - t0
             tgt = self.scan(buckets=affected).withColumnRenamed(key, "_t_key")
             result = None
 
@@ -455,6 +503,8 @@ class LakeTable:
                 F.sum((F.col("_matched") & F.col("_took_update")).cast("long")).alias("updated"),
             ).collect()
             t_join = time.time() - t0
+            if self.write_mode == "mor":
+                affected = sorted(int(r["_bucket"]) for r in stats_rows)
 
             new_version = self.version + 1
             # unique data dir per attempt: the exclusive v{N}.json create in
@@ -473,7 +523,8 @@ class LakeTable:
             t_write = time.time() - t0
         finally:
             result.unpersist()
-            upd.unpersist()
+            if upd_persisted is not None:
+                upd_persisted.unpersist()
 
         # manifest update: cow replaces the bucket's segment stack with the
         # merged segment; mor appends the batch segment to the stack.

@@ -25,28 +25,53 @@ def split_ddl(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     return df.filter(F.col("op") != "ddl"), df.filter(F.col("op") == "ddl")
 
 
-def map_opcode(df: DataFrame, op_col: str = "op", out_col: str = "op_type") -> DataFrame:
+def map_opcode(df: DataFrame, op_col: str = "op", out_col: str = "op_type",
+               drop_unknown: bool = True) -> DataFrame:
     """D2: normalize source op codes; unknown codes are dropped (skip+warn
-    in the reference; a filter here — count the drop in lineage)."""
+    in the reference, MySqlRecordConsumer.java:170-183). With
+    ``drop_unknown=False`` unknown rows survive with a null ``out_col`` so
+    the caller can COUNT them into lineage before filtering (the pipeline
+    does: see CDCPipeline.apply_batch's events_skipped_unknown_op)."""
     expr = F.when(F.col(op_col).isin("c", "r"), F.lit("I")) \
         .when(F.col(op_col) == "u", F.lit("U")) \
         .when(F.col(op_col) == "d", F.lit("D"))
-    return df.withColumn(out_col, expr).filter(F.col(out_col).isNotNull())
+    out = df.withColumn(out_col, expr)
+    return out.filter(F.col(out_col).isNotNull()) if drop_unknown else out
 
 
-def select_row_image(df: DataFrame) -> DataFrame:
+def select_row_image(df: DataFrame, before_key_only: str | None = None) -> DataFrame:
     """D3: DELETE carries the before-image as its row; INSERT/UPDATE the
     after-image (MySqlRecordConsumer.java:218-225; SqlServerRecordConsumer.java:216-218).
     Produces a unified ``row`` struct plus retained ``before`` for UPDATE
-    validation."""
-    return df.withColumn("row", F.coalesce(F.col("after"), F.col("before")))
+    validation.
+
+    ``before_key_only``: the apply path only ever needs the KEY of the
+    before-image (deletes tombstone the payload anyway), so passing the
+    key column name here builds the row image from after.* plus
+    coalesce(after.key, before.key) — nested-schema pruning then drops
+    the wide before payload (html!) from the parquet scan entirely,
+    halving payload I/O at the source."""
+    if before_key_only is None:
+        return df.withColumn("row", F.coalesce(F.col("after"), F.col("before")))
+    key = before_key_only
+    fields = df.schema["after"].dataType.names
+    row = F.struct(*[
+        (F.coalesce(F.col(f"after.{f}"), F.col(f"before.{f}")) if f == key
+         else F.col(f"after.{f}")).alias(f)
+        for f in fields
+    ])
+    return df.withColumn("row", row)
 
 
 def filter_dml_blacklist(df: DataFrame, blacklist: set[str] | None, op_col: str = "op_type") -> DataFrame:
     """D7: drop blacklisted operation types (MySqlRecordConsumer.java:185-188)."""
     if not blacklist:
         return df
-    return df.filter(~F.col(op_col).isin(*sorted(blacklist)))
+    # null-safe: unknown-op rows (null op_type under keep_unknown) are not
+    # the blacklist's business — they pass through to be counted, then dropped.
+    return df.filter(
+        F.col(op_col).isNull() | ~F.col(op_col).isin(*sorted(blacklist))
+    )
 
 
 def synth_txn_id(df: DataFrame, gtid_col: str = "gtid",
@@ -92,18 +117,22 @@ def decode_events(
     blacklist: set[str] | None = None,
     last_committed_lsn: int | None = None,
     columns: list[str] | None = None,
+    before_key_only: str | None = None,
+    keep_unknown: bool = False,
 ) -> DataFrame:
     """Full DML decode stack D1-D12 (DDL rows excluded; handle via split_ddl).
 
     Output: flattened payload columns + (op_type, lsn, seq, ts_ms,
     is_snapshot, txn_id). One Catalyst projection — verify with
     .explain(): a single WholeStageCodegen span over the scan.
+    ``before_key_only``/``keep_unknown`` pass through to
+    select_row_image / map_opcode (apply-path options).
     """
     dml, _ = split_ddl(df)
     dml = filter_replayed(dml, last_committed_lsn)
-    dml = map_opcode(dml)
+    dml = map_opcode(dml, drop_unknown=not keep_unknown)
     dml = filter_dml_blacklist(dml, blacklist)
-    dml = select_row_image(dml)
+    dml = select_row_image(dml, before_key_only=before_key_only)
     dml = project_columns(dml, columns)
     return dml.select(
         F.col("row.*"),

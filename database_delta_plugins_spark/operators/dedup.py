@@ -130,10 +130,12 @@ def minhash_lsh_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    # threshold on the RAW ratio (rounding only in the projection) so the
+    # cut matches an exact-SQL oracle bit-for-bit at the boundary.
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        cand.withColumn("_j", inter / union)
+        .filter(F.col("_j") >= threshold)
+        .select("id_a", "id_b", F.round("_j", 6).alias("jaccard"))
     )
 
 
@@ -157,9 +159,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     )
     jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
     return (
-        shared.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        shared.withColumn("_j", jac)
+        .filter(F.col("_j") >= threshold)
+        .select("id_a", "id_b", F.round("_j", 6).alias("jaccard"))
     )
 
 

@@ -88,7 +88,12 @@ def lww_reduce_late(df: DataFrame, key: str = "url",
         (F.col(key) == F.col("_w_key")) & (ord_s == F.col("_w")),
         "inner",
     )
-    return j.select(*df.columns)
+    # exact duplicates of the winner event — same (key, lsn, seq), e.g. a
+    # source replaying the boundary record — would BOTH survive the join
+    # and break the one-row-per-key contract downstream (mor segments
+    # assume keys unique per segment). Dedup the winner rows: this is one
+    # row per key, so the dropDuplicates shuffle is tiny.
+    return j.select(*df.columns).dropDuplicates([key, *ORDER_COLS])
 
 
 def lww_reduce_salted(df: DataFrame, key: str = "url",

@@ -40,11 +40,13 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     literal array (broadcast as part of the plan, no shuffle of the big
     side; the global top-k is a TakeOrdered, not a full sort)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = df.select(
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+    # rank on the RAW cosine (round only in the projection): rank-k ties
+    # introduced by rounding would diverge from an exact-SQL oracle.
+    scored = df.select(F.col(id_col), cosine(F.col(vec_col), q).alias("_c"))
+    return (
+        scored.orderBy(F.desc("_c"), F.col(id_col)).limit(k)
+        .select(id_col, F.round("_c", 6).alias("cos_sim"))
     )
-    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
 
 def _hyperplane(i: int, dim: int) -> list[float]:
@@ -86,12 +88,7 @@ def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,
         qsig |= int(d > 0) << i
     probes = [qsig] + ([qsig ^ (1 << i) for i in range(bits)] if multiprobe else [])
     cand = sigged.filter(F.col("sig").isin(probes))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (
-        cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), F.col(id_col))
-        .limit(k)
-    )
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
@@ -137,8 +134,8 @@ def cosine_neardup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
     return (
         a.join(b, "sig")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
+        .withColumn("_c", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("_c") >= threshold)
+        .select("id_a", "id_b", F.round("_c", 6).alias("cos_sim"))
         .dropDuplicates(["id_a", "id_b"])
     )

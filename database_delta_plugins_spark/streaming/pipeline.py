@@ -159,13 +159,26 @@ class CDCPipeline:
 
     # ---------------------------------------------------------- batch body
     def _decoded(self, dml: DataFrame, last_lsn: int | None = None) -> DataFrame:
-        d = decode.decode_events(dml, blacklist=self.dml_blacklist,
-                                 last_committed_lsn=last_lsn, columns=self.columns)
+        """Catalyst-only decode of the whole batch. The expensive pandas
+        UDFs (extract_text / norm_lang) do NOT run here: they run in
+        ``_winner_transform`` AFTER the LWW reduce, on winners only —
+        deterministic row transforms commute with winner selection, and
+        at bench skew that is ~200x less Arrow/pandas work. The before
+        image is pruned to the key (deletes tombstone the payload), so
+        nested-schema pruning drops before.html/text from the scan."""
+        return decode.decode_events(
+            dml, blacklist=self.dml_blacklist, last_committed_lsn=last_lsn,
+            columns=self.columns, before_key_only=self.key, keep_unknown=True,
+        )
+
+    def _winner_transform(self, d: DataFrame) -> DataFrame:
+        """Vectorized per-record transforms (north rule: pandas/Arrow UDFs,
+        zero per-row Python) — applied post-LWW, O(winners) not O(batch)."""
         if self.derive_text_from_html and "html" in d.columns:
             d = d.withColumn("text", extract_text(F.col("html")))
         if self.normalize_lang and "lang" in d.columns:
             d = d.withColumn("lang", norm_lang(F.col("lang")))
-        return d.withColumnRenamed("op_type", "op_type")
+        return d
 
     def apply_batch(self, batch_df: DataFrame, epoch_id: int | str) -> list[dict]:
         """foreachBatch body. Deterministically splits the batch at DDL
@@ -197,13 +210,19 @@ class CDCPipeline:
                 seg = seg.filter(F.col("lsn") < hi_b)
             if seg_id not in table.committed_epochs():
                 d = self._decoded(seg)
-                dml_cols = [c for c in d.columns]
+                # one narrow agg job: per-input-partition offset ranges +
+                # unknown-op drop count (D10 lineage + D2 skip audit).
+                plin = partition_lineage(d, op_col="op_type")
+                d = d.filter(F.col("op_type").isNotNull())
                 rec = table.merge(
                     d,
                     epoch_id=seg_id,
+                    transform=self._winner_transform,
                     extra_lineage={
                         "stream_epoch": str(epoch_id),
-                        "partition_lineage": partition_lineage(d) if d is not None else [],
+                        "partition_lineage": plin,
+                        "events_skipped_unknown_op": sum(
+                            p.get("unknown_ops", 0) for p in plin),
                     },
                 )
                 table = table.refresh()

@@ -149,3 +149,42 @@ def test_time_travel(spark, tmp_path):
     t = t.refresh()
     assert t.read().head()["text"] == "v2"
     assert t.read(version=v1).head()["text"] == "v1"
+
+
+def test_orphan_snapshot_recovered_after_crash(spark, tmp_path):
+    """A kill between v{N}.json create and the CURRENT swap leaves an
+    orphan; the next commit at that version must unlink it and proceed
+    (advice r1: crash-recovery deadlock)."""
+    t = _mk(spark, tmp_path)
+    t.merge(_upd(spark, [("a", "v1", "en", "I", 1, 0)]), epoch_id=1)
+    t = t.refresh()
+    # simulate the crashed attempt: orphan v{N+1}.json, CURRENT untouched
+    orphan = f"{t.path}/_meta/v{t.version + 1}.json"
+    with open(orphan, "w") as f:
+        f.write('{"partial": true')  # even truncated JSON must be cleared
+    rec = t.merge(_upd(spark, [("b", "w1", "de", "I", 2, 0)]), epoch_id=2)
+    t = t.refresh()
+    assert rec["rows_applied"] == 1
+    assert {r["url"] for r in t.read().collect()} == {"a", "b"}
+    # and the committed snapshot at that version is valid JSON
+    with open(orphan) as f:
+        json.load(f)
+
+
+def test_time_travel_across_schema_evolution(spark, tmp_path):
+    """read(version=v) must project version-v's schema, not HEAD's
+    (advice r1: UNRESOLVED_COLUMN after add/rename/drop since v)."""
+    t = _mk(spark, tmp_path)
+    t.merge(_upd(spark, [("a", "v1", "en", "I", 1, 0)]), epoch_id=1)
+    t = t.refresh()
+    v1 = t.version
+    t.apply_ddl({"action": "add_column", "name": "score", "type": "int"}, lsn=100)
+    t = t.refresh()
+    t.apply_ddl({"action": "rename_column", "name": "text", "new_name": "body"}, lsn=101)
+    t = t.refresh()
+    t.apply_ddl({"action": "drop_column", "name": "lang"}, lsn=102)
+    t = t.refresh()
+    old = t.read(version=v1)
+    assert old.columns == ["url", "text", "lang"]
+    assert old.head()["text"] == "v1"
+    assert t.read().columns == ["url", "body", "score"]

@@ -61,3 +61,16 @@ def test_lww_tie_break_on_seq(spark):
     df = spark.createDataFrame(rows, ["url", "text", "lsn", "seq"])
     got = lww_reduce(df).collect()
     assert len(got) == 1 and got[0]["text"] == "new"
+
+
+def test_lww_late_dedupes_exact_duplicate_events(spark):
+    """Two events with identical (key, lsn, seq) — a replayed boundary
+    record — must yield ONE winner row (advice r1: mor segments assume
+    keys unique per segment)."""
+    from database_delta_plugins_spark.operators.lww import lww_reduce_late
+
+    rows = [("a", 5, 0, "x"), ("a", 5, 0, "x"), ("a", 3, 0, "old"), ("b", 1, 0, "y")]
+    df = spark.createDataFrame(rows, "url string, lsn long, seq long, text string")
+    out = lww_reduce_late(df, key="url").collect()
+    assert sorted((r["url"], r["text"]) for r in out) == [("a", "x"), ("b", "y")]
+    assert len(out) == 2
