@@ -42,3 +42,43 @@ def partition_lineage(df: DataFrame, lsn_col: str = "lsn",
             rec["unknown_ops"] = int(r["unknown_ops"])
         out.append(rec)
     return out
+
+
+def batch_audit(batch_df: DataFrame) -> tuple[list[dict], list[tuple[int, str]]]:
+    """ONE narrow agg job producing everything the per-epoch driver logic
+    needs from the raw batch: per-input-partition offset-range lineage,
+    the unknown-op drop count, and the batch's DDL control rows.
+
+    Replaces three separate scans per epoch (ddl collect + lineage agg +
+    unknown count) — per-epoch fixed job cost is what bounds streaming
+    throughput at high parallelism. Column pruning reaches the scan: only
+    (op, lsn, ddl) bytes are read, never the page payloads.
+
+    Returns (partition_lineage_rows, [(lsn, ddl_json), ...] sorted by lsn).
+    """
+    is_ddl = F.col("op") == "ddl"
+    known = F.col("op").isin("c", "r", "u", "d")
+    rows = (
+        batch_df.groupBy(F.spark_partition_id().alias("partition"))
+        .agg(
+            F.sum((~is_ddl).cast("long")).alias("rows"),
+            F.min(F.when(~is_ddl, F.col("lsn"))).alias("min_lsn"),
+            F.max(F.when(~is_ddl, F.col("lsn"))).alias("max_lsn"),
+            F.sum((~is_ddl & ~known).cast("long")).alias("unknown_ops"),
+            # collect_list skips nulls -> only ddl rows collected (rare)
+            F.collect_list(F.when(is_ddl, F.struct("lsn", "ddl"))).alias("ddls"),
+        )
+        .collect()
+    )
+    lineage = []
+    ddls: list[tuple[int, str]] = []
+    for r in sorted(rows, key=lambda r: r["partition"]):
+        if r["rows"]:
+            lineage.append({
+                "partition": int(r["partition"]), "rows": int(r["rows"]),
+                "min_lsn": int(r["min_lsn"]), "max_lsn": int(r["max_lsn"]),
+                "unknown_ops": int(r["unknown_ops"]),
+            })
+        for d in r["ddls"]:
+            ddls.append((int(d["lsn"]), d["ddl"]))
+    return lineage, sorted(ddls, key=lambda x: x[0])

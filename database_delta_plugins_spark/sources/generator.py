@@ -175,19 +175,32 @@ def rich_events_df(
     n_hot_urls: int = 5,
     with_html: bool = True,
     html_pad_bytes: int = 0,
+    url_copies: int = 1,
 ) -> DataFrame:
     """Nested-envelope change-event log: (lsn, seq, op, table_name,
     before:struct, after:struct, ts_ms, is_snapshot, txn_id, ddl).
 
     ``revs`` multiplies volume: each doc emits 1 + (doc_id % revs)
-    events. ``hot_url_pct`` percent of non-initial events are redirected
-    onto ``n_hot_urls`` shared hot urls (Zipf-ish skew for the salting
-    path). All fields are pure functions of (doc_id, rev) — xxhash64 is
-    deterministic — so the log is reproducible.
+    events. ``url_copies`` multiplies the KEY space: each doc fans out to
+    ``url_copies`` distinct urls (suffix -c{i}); this sets the dedup
+    ratio independently of volume — a 10^10-event Common-Crawl ingest
+    sees ~2-10 events per url, not hundreds, and the engine's
+    winners-only transform cost scales with distinct urls, so benchmarks
+    must control this ratio. ``hot_url_pct`` percent of non-initial
+    events are redirected onto ``n_hot_urls`` shared hot urls (Zipf-ish
+    skew for the salting path). All fields are pure functions of
+    (doc_id, copy, rev) — xxhash64 is deterministic — so the log is
+    reproducible.
     """
     docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
     stride = revs + 1
     revs_df = spark.range(revs).withColumnRenamed("id", "rev")
+    if url_copies > 1:
+        copies = spark.range(url_copies).withColumnRenamed("id", "copy")
+        docs = (
+            docs.crossJoin(copies)
+            .withColumn("doc_id", F.col("doc_id") * url_copies + F.col("copy"))
+        )
     e = (
         docs.crossJoin(revs_df)
         .filter(F.col("rev") <= F.col("doc_id") % revs)
@@ -297,6 +310,7 @@ def write_event_log(
     hot_url_pct: int = 10,
     html_pad_bytes: int = 0,
     with_html: bool = True,
+    url_copies: int = 1,
 ) -> int:
     """Materialize the rich event log as ``n_files`` lsn-range-ordered
     parquet chunks (the binlog-file analogue) for file-based streaming.
@@ -306,7 +320,7 @@ def write_event_log(
     sorted rows): sorting html-free rows keeps the exchange tiny; the
     heavy page bytes are generated map-side on the way into the writer."""
     e = rich_events_df(spark, sf_dir, revs=revs, hot_url_pct=hot_url_pct,
-                       with_html=False)
+                       with_html=False, url_copies=url_copies)
     if ddls:
         e = e.unionByName(ddl_events_df(spark, ddls))
     e = e.repartitionByRange(n_files, "lsn").sortWithinPartitions("lsn", "seq")

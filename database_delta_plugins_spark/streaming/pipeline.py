@@ -35,7 +35,7 @@ from pyspark.sql import types as T
 from database_delta_plugins_spark.functions.udfs import extract_text, norm_lang
 from database_delta_plugins_spark.lake.table import LakeTable
 from database_delta_plugins_spark.operators import decode
-from database_delta_plugins_spark.plans.lineage import partition_lineage
+from database_delta_plugins_spark.plans.lineage import batch_audit, partition_lineage
 
 PAGES_SCHEMA = T.StructType([
     T.StructField("url", T.StringType(), False),
@@ -183,14 +183,16 @@ class CDCPipeline:
     def apply_batch(self, batch_df: DataFrame, epoch_id: int | str) -> list[dict]:
         """foreachBatch body. Deterministically splits the batch at DDL
         boundaries so every DML applies under the schema in force at its
-        lsn; each segment commits as its own fenced sub-epoch."""
-        table = LakeTable.load(self.spark, self.table_path)
-        dml, ddl = decode.split_ddl(batch_df)
+        lsn; each segment commits as its own fenced sub-epoch.
 
-        ddl_rows = sorted(
-            ((r["lsn"], r["ddl"]) for r in ddl.select("lsn", "ddl").collect()),
-            key=lambda x: x[0],
-        )
+        Driver-side job budget: ONE narrow batch_audit job yields the
+        DDL rows + per-partition lineage + unknown-op count; the common
+        (no-DDL) batch then runs exactly two more jobs (merge stats +
+        segment write) — per-epoch fixed cost bounds streaming
+        throughput, so every job here must earn its place."""
+        table = LakeTable.load(self.spark, self.table_path)
+        dml, _ = decode.split_ddl(batch_df)
+        plin, ddl_rows = batch_audit(batch_df)
         boundaries = [lsn for lsn, _ in ddl_rows]
         segments: list[tuple[str, int | None, int | None, list[tuple[int, str]]]] = []
         lo = None
@@ -210,9 +212,12 @@ class CDCPipeline:
                 seg = seg.filter(F.col("lsn") < hi_b)
             if seg_id not in table.committed_epochs():
                 d = self._decoded(seg)
-                # one narrow agg job: per-input-partition offset ranges +
-                # unknown-op drop count (D10 lineage + D2 skip audit).
-                plin = partition_lineage(d, op_col="op_type")
+                if boundaries:
+                    # rare DDL-splitting path: the batch-level audit can't
+                    # attribute rows to segments; re-aggregate per segment.
+                    seg_lin = partition_lineage(d, op_col="op_type")
+                else:
+                    seg_lin = plin
                 d = d.filter(F.col("op_type").isNotNull())
                 rec = table.merge(
                     d,
@@ -220,9 +225,9 @@ class CDCPipeline:
                     transform=self._winner_transform,
                     extra_lineage={
                         "stream_epoch": str(epoch_id),
-                        "partition_lineage": plin,
+                        "partition_lineage": seg_lin,
                         "events_skipped_unknown_op": sum(
-                            p.get("unknown_ops", 0) for p in plin),
+                            p.get("unknown_ops", 0) for p in seg_lin),
                     },
                 )
                 table = table.refresh()
