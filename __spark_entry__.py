@@ -28,11 +28,12 @@ from database_delta_plugins_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    simhash_candidates,
+    simhash_neardup_pairs,
 )
-from database_delta_plugins_spark.operators.lww import lww_reduce_salted
+from database_delta_plugins_spark.operators.lww import lww_reduce_late
 from database_delta_plugins_spark.operators.multimodal import decode_media, synth_media_df
 from database_delta_plugins_spark.operators.similarity import (
+    _hyperplane,
     cosine_neardup_pairs,
     cosine_topk,
     ivf_topk,
@@ -70,9 +71,13 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cdc_apply_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: final visible table state after LWW apply of the change
-    log — salted two-stage reduce (A2), delete suppression (A1)."""
+    log — LATE-MATERIALIZED salted reduce (A2): winners decided over
+    (url, lsn, seq) only, the wide payload joins back broadcast-style and
+    never enters the reduce shuffle (the engine apply path's strategy;
+    lww_reduce_salted remains for payload-through-the-shuffle cases).
+    Delete suppression (A1)."""
     ev = cdc_events_df(spark, sf_dir).select(*_FLAT_COLS)
-    w = lww_reduce_salted(ev, key="url")
+    w = lww_reduce_late(ev, key="url")
     return (
         w.filter(F.col("op") != "d")
         .select(
@@ -226,11 +231,22 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates, exact-Jaccard verified. At threshold 0.3
+    with 16 bands x 4 rows the band-collision probability for a
+    threshold-passing pair is 1-(1-j^4)^16 (>=0.12 at j=0.3, ~1 at
+    j>=0.7); on the fixed sf0.01 gate corpus the recall is empirically
+    1.0 (pytest + gate cross-check vs the exact-SQL oracle) — the oracle
+    therefore checks the full exact pair set."""
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_candidates(_docs(spark, sf_dir), max_hamming=6)
+    """SimHash(64) candidates via 8x8-bit chunk buckets (pigeonhole:
+    GUARANTEED recall for hamming<=7), exact-Jaccard verified — hash-free
+    output, so the exact-SQL oracle checks the full pair set (every
+    jaccard>=0.3 pair on the gate corpus has hamming<=5)."""
+    return simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=7,
+                                 threshold=0.3, n_chunks=8)
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,30 +257,69 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+_LSH_BITS = 6        # ann_lsh bucket bits
+_NEARDUP_BITS = 4    # embed_neardup bucket bits (recall vs bucket size)
+_NEARDUP_T = 0.4
+_IVF_CELLS = 8
+_IVF_NPROBE = 3
+
+
+def _dbl(emb: DataFrame) -> DataFrame:
+    return emb.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    dbl = emb.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    """LSH-bucketed ANN. The signature is pure deterministic arithmetic
+    (hash-derived hyperplanes), so the DuckDB oracle mirrors it exactly
+    — sig, multiprobe set, and in-bucket exact cosine all SQL-checked."""
+    dbl = _dbl(_emb(spark, sf_dir))
     qv = [float(x) for x in dbl.filter(F.col("vec_id") == 0).head()["embedding"]]
-    return lsh_bucket_topk(dbl, qv, k=10, bits=6)
+    return lsh_bucket_topk(dbl, qv, k=10, bits=_LSH_BITS)
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    dbl = emb.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    """Seed-quantized IVF (build/query split; see ivf_build): cells,
+    probe set and in-cell ranking are deterministic data functions —
+    fully mirrored by the SQL oracle."""
+    dbl = _dbl(_emb(spark, sf_dir))
     qv = [float(x) for x in dbl.filter(F.col("vec_id") == 0).head()["embedding"]]
-    return ivf_topk(dbl, qv, k=10, n_cells=8, nprobe=3)
+    return ivf_topk(dbl, qv, k=10, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE)
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    dbl = emb.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    """Embedding near-dup pairs: exact cosine within LSH buckets; the
+    oracle mirrors the signature arithmetic, so the full pair set is
+    value-checked (non-empty at sf0.01: ~59 pairs exceed cos 0.4)."""
+    dbl = _dbl(_emb(spark, sf_dir))
     dim = len(dbl.head()["embedding"])
-    return cosine_neardup_pairs(dbl, dim=dim, threshold=0.5, bits=6)
+    return cosine_neardup_pairs(dbl, dim=dim, threshold=_NEARDUP_T, bits=_NEARDUP_BITS)
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing e2e: synth media -> mapInPandas fake decode.
+    The float feature vector is canonicalized to an exact integer-count
+    string (counts = feature * n_bytes recovers the byte histogram
+    exactly: counts < 2^24 are float32-lossless), so the driver's
+    sort+hash comparison and the DuckDB oracle (which recomputes the
+    histogram from the payload definition arithmetically) both work."""
     media = synth_media_df(spark, n=200)
-    return decode_media(media, fake=True)
+    d = decode_media(media, fake=True)
+    n_bytes = F.length(F.encode(
+        F.concat(F.lit("MEDIA:"),
+                 F.repeat(F.conv(F.col("media_id") % 256, 10, 16), 64)), "utf-8"))
+    counts = F.transform(
+        F.col("feature"),
+        lambda x: F.round(x * n_bytes.cast("float"), 0).cast("int"),
+    )
+    return (
+        d.withColumn("media_id", F.col("media_id"))
+        .select(
+            "media_id", "kind",
+            F.concat_ws(",", F.transform(counts, lambda c: c.cast("string")))
+            .alias("byte_hist"),
+            F.col("n_frames").cast("long").alias("n_frames"),
+        )
+    )
 
 
 def q_extract_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,6 +382,136 @@ def _lang_case_sql() -> str:
     return f"CASE {branches} ELSE 'und' END"
 
 
+_EMB_DIM = 64  # driver generator's embedding width (validated at query time)
+
+
+def _hp_sql(i: int, dim: int) -> str:
+    """Hyperplane i as an exact DuckDB DOUBLE[] literal — repr() floats
+    round-trip exactly, so the SQL mirror computes the SAME signature
+    bits as the Catalyst expression (both sides fold the dot product
+    sequentially in float64)."""
+    return "[" + ", ".join(repr(x) for x in _hyperplane(i, dim)) + "]::DOUBLE[]"
+
+
+def _sig_sql(vec: str, bits: int, dim: int = _EMB_DIM) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product({vec}, {_hp_sql(i, dim)}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"({terms})"
+
+
+_COS_SQL = ("list_dot_product({a}, {b}) / "
+            "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))")
+
+
+def _ann_lsh_oracle(bits: int = _LSH_BITS, k: int = 10) -> str:
+    cos = _COS_SQL.format(a="s.v", b="q.v")
+    probes = " UNION ALL ".join(
+        ["SELECT sig AS p FROM q"]
+        + [f"SELECT xor(sig, {1 << i}) FROM q" for i in range(bits)]
+    )
+    return f"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s AS (SELECT vec_id, v, {_sig_sql('v', bits)} AS sig FROM e),
+      q AS (SELECT v, sig FROM s WHERE vec_id = 0),
+      probes AS ({probes}),
+      cand AS (SELECT s.vec_id, {cos} AS c FROM s, q
+               WHERE s.sig IN (SELECT p FROM probes))
+      SELECT vec_id, round(c, 6) AS cos_sim
+      FROM cand ORDER BY c DESC, vec_id LIMIT {k}
+    """
+
+
+def _embed_neardup_oracle(bits: int = _NEARDUP_BITS, t: float = _NEARDUP_T) -> str:
+    cos = _COS_SQL.format(a="a.v", b="b.v")
+    return f"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s AS (SELECT vec_id, v, {_sig_sql('v', bits)} AS sig FROM e),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS c
+            FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+      SELECT id_a, id_b, round(c, 6) AS cos_sim FROM p WHERE c >= {t}
+    """
+
+
+def _ann_ivf_oracle(n_cells: int = _IVF_CELLS, nprobe: int = _IVF_NPROBE,
+                    k: int = 10) -> str:
+    cos_ec = _COS_SQL.format(a="e.v", b="c.cv")
+    cos_cq = _COS_SQL.format(a="c.cv", b="q.v")
+    cos_eq = _COS_SQL.format(a="cells.v", b="q.v")
+    return f"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+            FROM e WHERE vec_id < {n_cells}),
+      scored AS (SELECT e.vec_id, e.v, c.cell, {cos_ec} AS s FROM e CROSS JOIN c),
+      asg AS (SELECT vec_id, v, cell,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+              FROM scored),
+      cells AS (SELECT vec_id, v, cell FROM asg WHERE rn = 1),
+      q AS (SELECT v FROM e WHERE vec_id = 0),
+      pr AS (SELECT c.cell FROM c, q ORDER BY {cos_cq} DESC, c.cell LIMIT {nprobe}),
+      cand AS (SELECT cells.vec_id, {cos_eq} AS c FROM cells, q
+               WHERE cells.cell IN (SELECT cell FROM pr))
+      SELECT vec_id, round(c, 6) AS cos_sim
+      FROM cand ORDER BY c DESC, vec_id LIMIT {k}
+    """
+
+
+def _multimodal_oracle(n: int = 200, dim: int = 8) -> str:
+    return f"""
+      WITH ids AS (SELECT unnest(range({n})) AS media_id),
+      pay AS (SELECT media_id,
+                     'MEDIA:' || repeat(upper(to_hex(media_id % 256)), 64) AS s
+              FROM ids),
+      ex AS (SELECT media_id, s, unnest(range(1, length(s) + 1)) AS i FROM pay),
+      bs AS (SELECT media_id, ascii(substring(s, CAST(i AS INT), 1)) % {dim} AS b FROM ex),
+      hist AS (SELECT media_id, b, count(*) AS c FROM bs GROUP BY 1, 2),
+      grid AS (SELECT media_id, unnest(range({dim})) AS b FROM ids),
+      filled AS (SELECT g.media_id, g.b, coalesce(h.c, 0) AS c
+                 FROM grid g LEFT JOIN hist h ON g.media_id = h.media_id AND g.b = h.b),
+      feat AS (SELECT media_id, string_agg(CAST(c AS VARCHAR), ',' ORDER BY b) AS byte_hist
+               FROM filled GROUP BY 1)
+      SELECT f.media_id,
+             CASE f.media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             f.byte_hist,
+             CAST(CASE WHEN f.media_id % 3 = 2 THEN f.media_id // 10 + 1
+                       ELSE 1 END AS BIGINT) AS n_frames
+      FROM feat f
+    """
+
+
+def _jaccard_at(threshold: float) -> str:
+    """Exact word-3-gram Jaccard pairs at a threshold (shared oracle for
+    ngram_jaccard and the LSH candidate generators, which emit the same
+    exact-verified relation when candidate recall is 1.0)."""
+    return rf"""
+      WITH base AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws FROM documents
+      ),
+      tok AS (SELECT doc_id, ws, unnest(range(greatest(len(ws) - 2, 1))) AS i FROM base),
+      sh0 AS (
+        SELECT doc_id,
+               CASE WHEN len(ws) >= 3 THEN ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                    ELSE array_to_string(ws, ' ') END AS sh
+        FROM tok
+      ),
+      sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+      )
+      SELECT id_a, id_b,
+             round(shared / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE shared / (sa.n_sh + sb.n_sh - shared) >= {threshold}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     lww = f"""
       WITH cdc_events AS ({_CDC}),
@@ -357,30 +542,7 @@ def oracle_sql() -> dict[str, str]:
                    + least(mean_word_len / 8.0, 1.0) * 0.2, 4) AS quality
       FROM g
     """
-    jaccard = r"""
-      WITH base AS (
-        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws FROM documents
-      ),
-      tok AS (SELECT doc_id, ws, unnest(range(greatest(len(ws) - 2, 1))) AS i FROM base),
-      sh0 AS (
-        SELECT doc_id,
-               CASE WHEN len(ws) >= 3 THEN ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
-                    ELSE array_to_string(ws, ' ') END AS sh
-        FROM tok
-      ),
-      sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
-      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-      shared AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-      )
-      SELECT id_a, id_b,
-             round(shared / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
-      FROM shared
-      JOIN sizes sa ON sa.doc_id = id_a
-      JOIN sizes sb ON sb.doc_id = id_b
-      WHERE shared / (sa.n_sh + sb.n_sh - shared) >= 0.05
-    """
+    jaccard = _jaccard_at(0.05)
     cosine = """
       WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
       ex AS (
@@ -466,8 +628,21 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
         "ngram_jaccard": jaccard,
         "ann_cosine_topk": cosine,
-        # minhash_lsh / simhash / ann_lsh_topk / embed_neardup /
-        # multimodal_decode / extract_text_roundtrip: hash-function- or
-        # UDF-dependent -> rows-only check; verified in tests/ against
-        # ground truth instead.
+        # LSH/IVF signatures are deterministic ARITHMETIC (hash-derived
+        # hyperplane literals, seed centroids), so DuckDB mirrors them
+        # exactly — candidates, probes and scores all value-checked.
+        "ann_lsh_topk": _ann_lsh_oracle(),
+        "ann_ivf_topk": _ann_ivf_oracle(),
+        "embed_neardup": _embed_neardup_oracle(),
+        # minhash/simhash emit exact-Jaccard-verified pairs; on the fixed
+        # sf0.01 gate corpus candidate recall is 1.0 (see docstrings), so
+        # the exact-SQL pair set is the full answer.
+        "minhash_lsh": _jaccard_at(0.3),
+        "simhash": _jaccard_at(0.3),
+        "multimodal_decode": _multimodal_oracle(),
+        # byte-identity invariant: the violation set must be EMPTY
+        "extract_text_roundtrip": """
+          SELECT doc_id, text, CAST(NULL AS VARCHAR) AS rt
+          FROM documents WHERE 1 = 0
+        """,
     }

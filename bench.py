@@ -246,7 +246,20 @@ def main() -> None:
 
     n_events = ensure_event_log()
     lo, hi = (2, 8) if CPUS >= 8 else (1, max(CPUS // 2, 2))
-    results = {c: _apply_at(c) for c in (lo, hi)}
+    # interleave the two levels' runs (lo,hi,lo,hi,...) so an ambient
+    # load burst cannot skew one level's whole min-of-N block
+    raw: dict[int, list[dict]] = {lo: [], hi: []}
+    for _ in range(RUNS):
+        for c in (lo, hi):
+            raw[c].append(_apply_at(c, n_runs=1))
+    results = {}
+    for c, runs in raw.items():
+        best = min(runs, key=lambda r: r["wall_sec"])
+        best["runs"] = [r["wall_sec"] for r in runs]
+        best["loads"] = [[r["load_before"], r["load_after"]] for r in runs]
+        cpus = [r["cpu_sec"] for r in runs if r.get("cpu_sec")]
+        best["cpu_sec"] = min(cpus) if cpus else None
+        results[c] = best
     # secondary point: 4 vs 16 (crosses the bandwidth knee; documented);
     # single run each — forensic context, not the gate measurement.
     sec = {c: _apply_at(c, n_runs=1) for c in ((4, 16) if CPUS >= 16 else ())} \

@@ -97,6 +97,8 @@ class LakeTable:
             "format_version": 2,
             "table_uuid": str(uuid.uuid4()),
             "version": 0,
+            "table_name": os.path.basename(path),
+            "dropped": False,
             "key": key,
             "write_mode": write_mode,
             "num_buckets": int(num_buckets),
@@ -144,6 +146,14 @@ class LakeTable:
     @property
     def write_mode(self) -> str:
         return self.snap.get("write_mode", "cow")
+
+    @property
+    def table_name(self) -> str:
+        return self.snap.get("table_name", os.path.basename(self.path))
+
+    @property
+    def is_dropped(self) -> bool:
+        return bool(self.snap.get("dropped"))
 
     def _schema_fields(self, schema_id: int | None = None) -> list[dict]:
         sid = self.snap["current_schema_id"] if schema_id is None else schema_id
@@ -300,8 +310,23 @@ class LakeTable:
         DDL (by lsn) was already applied — history dedup, the analogue of
         DBSchemaHistory.java:60-88.
 
-        Actions: add_column {name,type[,nullable]} · rename_column
-        {name,new_name} · widen_column {name,type} · drop_column {name}.
+        Actions (all seven reference DDL op kinds,
+        mysql/MySqlRecordConsumer.java:246-318):
+        add_column {name,type[,nullable]} · rename_column {name,new_name}
+        · widen_column {name,type} · drop_column {name} · truncate_table
+        · drop_table · rename_table {new_name} · create_table
+        [{schema:[{name,type[,nullable]}...], key}]. Database-level ops
+        (create/drop database) are catalog-scope — see
+        sources.registry.create_database/drop_database; the pipeline
+        routes them there.
+
+        drop_table clears the data manifest and marks the snapshot
+        dropped; a later create_table revives the table (fresh schema if
+        given, else the current one) — the reference's DROP then CREATE
+        sequence on the target. create_table on a live table is a no-op
+        (first-sight dedup, DD6). rename_table is metadata-only (the
+        catalog name changes; the storage path is an immutable uuid-like
+        location, as in Iceberg).
         """
         snap = json.loads(json.dumps(self.snap))
         if lsn is not None:
@@ -337,6 +362,34 @@ class LakeTable:
             # DD4: metadata-only truncate — next snapshot references no
             # files (old snapshots still time-travel to the data).
             snap["buckets"] = {}
+        elif action == "drop_table":
+            snap["buckets"] = {}
+            snap["dropped"] = True
+        elif action == "rename_table":
+            snap["table_name"] = ddl["new_name"]
+        elif action == "create_table":
+            if not snap.get("dropped"):
+                # DD6/DD3: CREATE for an existing live table — first-sight
+                # dedup, record in history only (no schema change).
+                pass
+            else:
+                snap["dropped"] = False
+                snap["buckets"] = {}
+                if "schema" in ddl:
+                    fields = []
+                    for i, f in enumerate(ddl["schema"]):
+                        fields.append({
+                            "id": snap["last_field_id"] + i + 1,
+                            "name": f["name"], "type": f["type"],
+                            "nullable": bool(f.get("nullable", True)),
+                        })
+                    snap["last_field_id"] += len(fields)
+                    if "key" in ddl:
+                        if ddl["key"] not in [f["name"] for f in fields]:
+                            raise ValueError(f"key {ddl['key']!r} not in schema")
+                        snap["key"] = ddl["key"]
+                    if snap["key"] not in [f["name"] for f in fields]:
+                        raise ValueError(f"key {snap['key']!r} not in new schema")
         else:
             raise ValueError(f"unknown ddl action {action!r}")
         new_sid = int(snap["current_schema_id"]) + 1
@@ -385,6 +438,10 @@ class LakeTable:
         from database_delta_plugins_spark.operators.lww import lww_reduce_late
 
         key = self.key
+        if self.is_dropped:
+            raise ValueError(
+                f"table {self.table_name!r} is dropped; apply a create_table "
+                "DDL (revive) before merging DML")
         eid = str(epoch_id) if epoch_id is not None else None
         if eid is not None and eid in self.snap["epochs"]:
             rec = dict(self.snap["epochs"][eid])
@@ -568,10 +625,45 @@ class LakeTable:
         if extra_lineage:
             lineage.update(extra_lineage)
         if eid is not None:
-            snap["epochs"][eid] = lineage
+            # Snapshot metadata is bounded: the snapshot carries only a
+            # COMPACT fencing record per epoch — full per-partition
+            # lineage goes to the append-only sidecar log (O(epochs²)
+            # cumulative rewrite cost otherwise; fencing needs only the
+            # ids). Records are trimmed to the most recent keep_epochs
+            # (default 256): a streaming restart replays at most the
+            # last uncommitted micro-batch, so the fence window only has
+            # to cover recent epochs; anything older is also below the
+            # committed-lsn frontier (D11 replay filter).
+            snap["epochs"][eid] = {
+                "epoch_id": eid,
+                "committed_version": new_version,
+                "rows_applied": applied,
+                "max_lsn": lineage["max_lsn"],
+                "skipped_replay": False,
+            }
+            keep = int(self.snap.get("properties", {}).get("keep_epochs", 256))
+            if len(snap["epochs"]) > keep:
+                ordered = sorted(snap["epochs"].items(),
+                                 key=lambda kv: kv[1].get("committed_version", 0))
+                snap["epochs"] = dict(ordered[-keep:])
         snap["version"] = new_version
         self._write_snapshot(snap)
+        self._append_lineage(lineage)
         return lineage
+
+    def _append_lineage(self, lineage: dict) -> None:
+        """Append the full epoch lineage record to the sidecar audit log
+        (one JSON line per commit; never rewritten — O(1) per epoch)."""
+        with open(f"{self.path}/_meta/lineage.jsonl", "a") as f:
+            f.write(json.dumps(lineage) + "\n")
+
+    def lineage_log(self) -> list[dict]:
+        """Read the full per-epoch lineage audit trail (sidecar log)."""
+        p = f"{self.path}/_meta/lineage.jsonl"
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return [json.loads(ln) for ln in f if ln.strip()]
 
     # -------------------------------------------------------- maintenance
     def compact(self, max_segments_per_bucket: int = 1) -> dict:

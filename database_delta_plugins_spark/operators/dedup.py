@@ -12,14 +12,19 @@ Spark-first shapes:
                  (xxhash64 token hashes, higher-order-function bit
                  counting — JVM codegen, no Python); near-dup candidates
                  via 4×16-bit chunk buckets (Hamming<=3 ⇒ some chunk
-                 equal by pigeonhole).
-* ngram_jaccard— exact Jaccard on shingle sets for candidate pairs.
+                 equal by pigeonhole); optional exact-Jaccard verify.
+* ngram_jaccard— exact Jaccard for pairs found via a (cappable)
+                 inverted shingle index.
 
-At 100 TB: every stage shuffles on a bounded key (fingerprint, band
-hash, chunk value); no cross join appears anywhere; skewed buckets
-(boilerplate shingles) are capped via ``max_bucket`` to bound the
-within-bucket quadratic term — the standard MinHash-LSH production
-guard.
+At 100 TB every candidate generator is guarded against skew the same
+way: a per-bucket postings cap (``row_number() <= cap``) bounds the
+within-bucket quadratic term against boilerplate shingles / common
+simhash chunks / popular minhash bands — the standard production LSH
+guard. Capping only affects RECALL (candidates), never precision:
+every emitted pair is verified with exact Jaccard computed from the
+full shingle sets, fetched by a post-candidate join (arrays are never
+dragged through the exploded index). ``*_dropped_postings`` exposes
+what a cap discarded so pipelines can audit the recall trade.
 """
 
 from __future__ import annotations
@@ -82,6 +87,59 @@ def minhash_signature(df: DataFrame, shingle_col: str = "shingles",
     return df.withColumn(out, sig).drop("_sh")
 
 
+def _cap_postings(postings: DataFrame, bucket_cols: list[str],
+                  cap: int | None) -> DataFrame:
+    """Production skew guard: keep only the ``cap`` smallest ids per
+    bucket — bounds the within-bucket self-join at cap² regardless of
+    how pathological the corpus (boilerplate shingles, constant simhash
+    chunks). Affects candidate RECALL only; emitted pairs are always
+    exact-verified downstream."""
+    if cap is None:
+        return postings
+    rk = F.row_number().over(Window.partitionBy(*bucket_cols).orderBy("id"))
+    return postings.withColumn("_rk", rk).filter(F.col("_rk") <= cap).drop("_rk")
+
+
+def dropped_postings(postings: DataFrame, bucket_cols: list[str],
+                     cap: int) -> DataFrame:
+    """Audit view of what _cap_postings discards: one row per
+    over-cap bucket with its posting count (count > cap)."""
+    return (
+        postings.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("postings"))
+        .filter(F.col("postings") > cap)
+    )
+
+
+def _verify_exact_jaccard(cand: DataFrame, base: DataFrame,
+                          threshold: float) -> DataFrame:
+    """Join candidate (id_a, id_b) pairs back to their full shingle sets
+    and keep exact Jaccard >= threshold. Shuffles candidates + two
+    id-keyed joins — arrays never ride through the exploded index.
+    Threshold on the RAW ratio; rounding only in the projection (oracle
+    boundary parity)."""
+    sa = base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"),
+                     F.col("n_sh").alias("na"))
+    sb = base.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"),
+                     F.col("n_sh").alias("nb"))
+    j = cand.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return (
+        j.withColumn("_j", jac)
+        .filter(F.col("_j") >= threshold)
+        .select("id_a", "id_b", F.round("_j", 6).alias("jaccard"))
+    )
+
+
+def _shingle_base(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return (
+        shingles(df.select(id_col, text_col), text_col, n=n)
+        .select(F.col(id_col).alias("id"), "shingles")
+        .withColumn("n_sh", F.size("shingles").cast("double"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -91,17 +149,17 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     max_bucket: int = 50,
 ) -> DataFrame:
-    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+    """Near-duplicate pairs (id_a < id_b, exact jaccard >= threshold).
 
     bands×rows decomposition of the 64-signature; a pair colliding in any
     band becomes a candidate; exact shingle Jaccard verifies. Bucket-size
     cap bounds the quadratic within-bucket join against boilerplate skew.
     """
     rows_per_band = _N_MINHASH // bands
-    base = minhash_signature(shingles(df.select(id_col, text_col), text_col, n=n))
-    bandrows = base.select(
-        F.col(id_col).alias("id"),
-        F.col("shingles"),
+    base = _shingle_base(df, id_col, text_col, n)
+    sigs = minhash_signature(base)
+    bandrows = sigs.select(
+        "id",
         F.posexplode(
             F.array(*[
                 F.xxhash64(F.concat_ws(",", *[
@@ -112,57 +170,40 @@ def minhash_lsh_pairs(
             ])
         ).alias("band", "band_hash"),
     )
-    # cap pathological buckets (boilerplate): keep smallest max_bucket ids
-    w_rank = F.row_number().over(
-        Window.partitionBy("band", "band_hash").orderBy("id")
-    )
-    bandrows = bandrows.withColumn("_rk", w_rank).filter(F.col("_rk") <= max_bucket)
-
-    a = bandrows.select("band", "band_hash", F.col("id").alias("id_a"),
-                        F.col("shingles").alias("sh_a"))
-    b = bandrows.select("band", "band_hash", F.col("id").alias("id_b"),
-                        F.col("shingles").alias("sh_b"))
+    bandrows = _cap_postings(bandrows, ["band", "band_hash"], max_bucket)
+    a = bandrows.select("band", "band_hash", F.col("id").alias("id_a"))
+    b = bandrows.select("band", "band_hash", F.col("id").alias("id_b"))
     cand = (
         a.join(b, ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    # threshold on the RAW ratio (rounding only in the projection) so the
-    # cut matches an exact-SQL oracle bit-for-bit at the boundary.
-    return (
-        cand.withColumn("_j", inter / union)
-        .filter(F.col("_j") >= threshold)
-        .select("id_a", "id_b", F.round("_j", 6).alias("jaccard"))
-    )
+    return _verify_exact_jaccard(cand, base, threshold)
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via inverted-index join on
-    shared shingles (never a cross join): explode shingles, self-join on
-    shingle, count shared, |A∪B| = |A|+|B|-shared."""
-    base = shingles(df.select(id_col, text_col), text_col, n=n)
-    sized = base.withColumn("n_sh", F.size("shingles"))
-    ex = sized.select(F.col(id_col).alias("id"), "n_sh",
-                      F.explode("shingles").alias("sh"))
-    a = ex.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"), "sh")
-    b = ex.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"), "sh")
-    shared = (
+                        threshold: float = 0.5,
+                        max_df: int | None = 1000) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted-index join on
+    shared shingles (never a cross join). ``max_df`` caps each shingle's
+    postings list (document frequency) — a stop-word shingle appearing in
+    every document would otherwise make the index self-join quadratic in
+    corpus size. Candidates then exact-verify against full shingle sets,
+    so the cap cannot produce false positives."""
+    base = _shingle_base(df, id_col, text_col, n)
+    ex = base.select("id", F.explode("shingles").alias("sh"))
+    ex = _cap_postings(ex, ["sh"], max_df)
+    a = ex.select(F.col("id").alias("id_a"), "sh")
+    b = ex.select(F.col("id").alias("id_b"), "sh")
+    cand = (
         a.join(b, "sh")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
-    return (
-        shared.withColumn("_j", jac)
-        .filter(F.col("_j") >= threshold)
-        .select("id_a", "id_b", F.round("_j", 6).alias("jaccard"))
-    )
+    return _verify_exact_jaccard(cand, base, threshold)
 
 
 # powers of two as signed-64 literals; bit 63 = min-long keeps the sum a
@@ -203,19 +244,32 @@ def simhash64(text_col) -> F.Column:
 
 
 def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on each of the 4 16-bit chunks
-    (pigeonhole: hamming<=3 over 64 bits ⇒ at least one of 4 chunks is
-    identical), verify Hamming distance with bit_count."""
+                       text_col: str = "text", max_hamming: int = 3,
+                       max_bucket: int | None = 200,
+                       n_chunks: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on each of the ``n_chunks``
+    (64/n_chunks)-bit chunks (pigeonhole: hamming <= n_chunks-1 over 64
+    bits ⇒ at least one chunk is identical — GUARANTEED recall up to
+    that radius; higher radii are caught only by chance), verify Hamming
+    distance with bit_count. More chunks = larger guaranteed radius but
+    smaller chunk-value space = bigger buckets — the classic multi-index
+    hamming trade. ``max_bucket`` caps each chunk bucket's postings —
+    boilerplate-heavy corpora share chunk values and would otherwise go
+    quadratic at scale."""
+    if 64 % n_chunks:
+        raise ValueError("n_chunks must divide 64")
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
     fp = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp"))
     fp = fp.filter(F.col("fp").isNotNull())
     chunks = fp.select(
         "id", "fp",
         F.posexplode(F.array(*[
-            F.shiftrightunsigned(F.col("fp"), 16 * i).bitwiseAND(F.lit(0xFFFF))
-            for i in range(4)
+            F.shiftrightunsigned(F.col("fp"), width * i).bitwiseAND(F.lit(mask))
+            for i in range(n_chunks)
         ])).alias("chunk", "chunk_val"),
     )
+    chunks = _cap_postings(chunks, ["chunk", "chunk_val"], max_bucket)
     a = chunks.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"), "chunk", "chunk_val")
     b = chunks.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"), "chunk", "chunk_val")
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
@@ -227,3 +281,19 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", max_hamming: int = 6,
+                          n: int = 3, threshold: float = 0.5,
+                          max_bucket: int | None = 200,
+                          n_chunks: int = 8) -> DataFrame:
+    """SimHash as the candidate generator, exact n-gram Jaccard as the
+    verifier: output pairs (id_a < id_b, jaccard >= threshold) — the
+    production near-dup shape (hash for recall, exact for precision),
+    and the output is hash-function-free so a SQL oracle can check it.
+    Default 8x8-bit chunks: guaranteed recall for hamming <= 7."""
+    cand = simhash_candidates(df, id_col, text_col, max_hamming,
+                              max_bucket, n_chunks=n_chunks).select("id_a", "id_b")
+    base = _shingle_base(df, id_col, text_col, n)
+    return _verify_exact_jaccard(cand, base, threshold)

@@ -91,18 +91,78 @@ def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def _py_cosine(a: list[float], b: list[float]) -> float:
+    """Pure-python sequential-fold cosine — bit-matches the Catalyst
+    aggregate() fold and DuckDB's list_dot_product loop, so driver-side
+    probe selection agrees with engine- and oracle-side scoring."""
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+        na += x * x
+        nb += y * y
+    return dot / ((na ** 0.5) * (nb ** 0.5))
+
+
+def ivf_build(df: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              seed_ids: list[int] | None = None
+              ) -> tuple[DataFrame, list[list[float]]]:
+    """IVF (inverted-file) index BUILD: deterministic coarse quantizer —
+    centroids are the vectors of ``n_cells`` seed rows (lowest ids by
+    default); every vector is assigned the argmax-cosine cell as a pure
+    Catalyst expression (no MLlib fit, no iteration-order float drift).
+
+    The 100 TB shape: run once, persist the output partitioned by
+    ``_cell`` (``.write.partitionBy('_cell')``); queries never touch this
+    again — they prune to nprobe cells at the scan (partition pruning)
+    and brute-force within. Returns (assigned_df, centroids).
+    """
+    seed_ids = seed_ids if seed_ids is not None else list(range(n_cells))
+    rows = df.filter(F.col(id_col).isin(seed_ids)).select(id_col, vec_col).collect()
+    rows = sorted(rows, key=lambda r: r[id_col])
+    centroids = [[float(x) for x in r[vec_col]] for r in rows]
+    scores = F.array(*[
+        cosine(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
+        for c in centroids
+    ])
+    cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    return df.withColumn("_cell", cell), centroids
+
+
+def ivf_probe_cells(centroids: list[list[float]], query_vec: list[float],
+                    nprobe: int) -> list[int]:
+    """Query-side cell selection: the ``nprobe`` cells whose centroids
+    are nearest the query (cosine; ties broken by cell id)."""
+    sims = [_py_cosine(c, [float(x) for x in query_vec]) for c in centroids]
+    return sorted(range(len(centroids)), key=lambda i: (-sims[i], i))[:nprobe]
+
+
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
              n_cells: int = 16, nprobe: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF (inverted-file) ANN: partition vectors into ``n_cells`` KMeans
-    cells (MLlib KMeans||, seeded — deterministic), then scan only the
-    ``nprobe`` cells whose centroids are nearest the query.
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             assigned: DataFrame | None = None,
+             centroids: list[list[float]] | None = None) -> DataFrame:
+    """IVF ANN query. Pass ``assigned``/``centroids`` from a prior
+    ivf_build to hit the build-once/query-many path (no fit, no
+    reassignment — just cell pruning + in-cell brute force); otherwise
+    builds inline (convenience for one-shot use).
+    Candidate count ~ n * nprobe / n_cells."""
+    if assigned is None or centroids is None:
+        assigned, centroids = ivf_build(df, n_cells, id_col, vec_col)
+    probes = ivf_probe_cells(centroids, query_vec, nprobe)
+    cand = assigned.filter(F.col("_cell").isin(probes)).drop("_cell")
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
-    The 100 TB shape: the index assignment is a one-off batch job whose
-    output (cell id) is a partition column; a query prunes to
-    nprobe/n_cells of the data at the scan (partition pruning), then
-    brute-forces within. Candidate count ~ n * nprobe / n_cells.
-    """
+
+def ivf_topk_kmeans(df: DataFrame, query_vec: list[float], k: int = 10,
+                    n_cells: int = 16, nprobe: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """KMeans-quantized IVF variant (MLlib KMeans||, seeded): better cell
+    balance than seed-based quantization at the cost of an iterative fit
+    whose float reduction order is partition-dependent — use for quality,
+    seed-based ivf_build for reproducibility-critical paths."""
     import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector

@@ -54,7 +54,8 @@ def batch_audit(batch_df: DataFrame) -> tuple[list[dict], list[tuple[int, str]]]
     throughput at high parallelism. Column pruning reaches the scan: only
     (op, lsn, ddl) bytes are read, never the page payloads.
 
-    Returns (partition_lineage_rows, [(lsn, ddl_json), ...] sorted by lsn).
+    Returns (partition_lineage_rows,
+             [(lsn, ddl_json, table_name), ...] sorted by lsn).
     """
     is_ddl = F.col("op") == "ddl"
     known = F.col("op").isin("c", "r", "u", "d")
@@ -66,12 +67,14 @@ def batch_audit(batch_df: DataFrame) -> tuple[list[dict], list[tuple[int, str]]]
             F.max(F.when(~is_ddl, F.col("lsn"))).alias("max_lsn"),
             F.sum((~is_ddl & ~known).cast("long")).alias("unknown_ops"),
             # collect_list skips nulls -> only ddl rows collected (rare)
-            F.collect_list(F.when(is_ddl, F.struct("lsn", "ddl"))).alias("ddls"),
+            F.collect_list(
+                F.when(is_ddl, F.struct("lsn", "ddl", "table_name"))
+            ).alias("ddls"),
         )
         .collect()
     )
     lineage = []
-    ddls: list[tuple[int, str]] = []
+    ddls: list[tuple[int, str, str | None]] = []
     for r in sorted(rows, key=lambda r: r["partition"]):
         if r["rows"]:
             lineage.append({
@@ -80,5 +83,5 @@ def batch_audit(batch_df: DataFrame) -> tuple[list[dict], list[tuple[int, str]]]
                 "unknown_ops": int(r["unknown_ops"]),
             })
         for d in r["ddls"]:
-            ddls.append((int(d["lsn"]), d["ddl"]))
+            ddls.append((int(d["lsn"]), d["ddl"], d["table_name"]))
     return lineage, sorted(ddls, key=lambda x: x[0])

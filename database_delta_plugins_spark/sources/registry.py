@@ -107,3 +107,34 @@ def describe_table(spark: SparkSession, root: str, name: str) -> dict:
             "key": t.key, "num_buckets": t.num_buckets, "version": t.version,
         }
     raise FileNotFoundError(name)
+
+
+def create_database(root: str, name: str) -> str:
+    """DD4 database-scope op: a database is a directory of tables under
+    ``root`` (the catalog namespace analogue; reference emits
+    CREATE_DATABASE ops, mysql/MySqlRecordConsumer.java:270-283).
+    Idempotent."""
+    p = os.path.join(root, name)
+    os.makedirs(p, exist_ok=True)
+    return p
+
+
+def drop_database(root: str, name: str) -> list[str]:
+    """Drop a database namespace: every contained LakeTable is marked
+    dropped via its own transactional drop_table DDL (data manifests
+    cleared, metadata retained for time travel) and the namespace is
+    tombstoned. Returns the dropped table names."""
+    p = os.path.join(root, name)
+    if not os.path.isdir(p):
+        return []
+    dropped = []
+    for entry in sorted(os.listdir(p)):
+        tp = os.path.join(p, entry)
+        if os.path.isdir(tp) and LakeTable.exists(tp):
+            t = LakeTable.load(None, tp)  # metadata-only; no session needed
+            if not t.is_dropped:
+                t.apply_ddl({"action": "drop_table"})
+            dropped.append(entry)
+    with open(os.path.join(p, "_DROPPED"), "w") as f:
+        f.write("")
+    return dropped

@@ -79,6 +79,8 @@ class CDCPipeline:
         num_buckets: int = 16,
         max_files_per_trigger: int = 2,
         dml_blacklist: set[str] | None = None,
+        ddl_blacklist: set[str] | None = None,
+        tables: dict[str, str] | None = None,
         columns: list[str] | None = None,
         derive_text_from_html: bool = False,
         normalize_lang: bool = False,
@@ -87,6 +89,7 @@ class CDCPipeline:
         runtime_args: dict[str, str] | None = None,
         write_mode: str = "mor",
         compact_every: int = 8,
+        database_base: str | None = None,
     ):
         # C4: runtime args prefixed 'source.connector.' override knobs
         # (reference: RuntimeArguments.java:37-45 applied at
@@ -117,6 +120,17 @@ class CDCPipeline:
         self.num_buckets = num_buckets
         self.max_files_per_trigger = max_files_per_trigger
         self.dml_blacklist = dml_blacklist
+        # D8: blacklisted DDL op types are skipped per config;
+        # create_table is NEVER blacklistable (the reference hard-codes
+        # this: mysql/MySqlRecordConsumer.java:347-356)
+        self.ddl_blacklist = {a for a in (ddl_blacklist or set())
+                              if a != "create_table"}
+        # multi-table replication: table_name -> LakeTable path. None =
+        # single-table mode (every DML/DDL applies to table_path, the
+        # original contract). The reference replicates a SET of tables
+        # per instance (mysql/MySqlTableRegistry.java:57-133) with
+        # per-table dispatch (MySqlRecordConsumer.java:199-206).
+        self.tables = tables
         self.columns = columns
         self.derive_text_from_html = derive_text_from_html
         self.normalize_lang = normalize_lang
@@ -127,8 +141,12 @@ class CDCPipeline:
         # bound the read-time segment stack.
         self.write_mode = write_mode
         self.compact_every = compact_every
+        self.database_base = database_base
         self.epoch_lineage: list[dict] = []
         self.listener = None
+
+    def _all_table_paths(self) -> list[str]:
+        return [self.table_path] if self.tables is None else list(self.tables.values())
 
     # ----------------------------------------------------------- bootstrap
     def bootstrap(self, replicate_existing_data: bool = True,
@@ -139,12 +157,12 @@ class CDCPipeline:
         mysql/MySqlConfig.java:126-128). Idempotent: re-running after a
         mid-snapshot crash redoes/completes the snapshot epoch (epoch
         fencing makes the redo a no-op if it committed)."""
-        if LakeTable.exists(self.table_path):
-            t = LakeTable.load(self.spark, self.table_path)
-        else:
-            t = LakeTable.create(self.spark, self.table_path, self.payload_schema,
+        for p in self._all_table_paths():
+            if not LakeTable.exists(p):
+                LakeTable.create(self.spark, p, self.payload_schema,
                                  key=self.key, num_buckets=self.num_buckets,
                                  write_mode=self.write_mode)
+        t = LakeTable.load(self.spark, self._all_table_paths()[0])
         if replicate_existing_data and snapshot_df is not None:
             snap = (
                 snapshot_df
@@ -190,16 +208,76 @@ class CDCPipeline:
         (no-DDL) batch then runs exactly two more jobs (merge stats +
         segment write) — per-epoch fixed cost bounds streaming
         throughput, so every job here must earn its place."""
-        table = LakeTable.load(self.spark, self.table_path)
         dml, _ = decode.split_ddl(batch_df)
-        plin, ddl_rows = batch_audit(batch_df)
+        plin, all_ddls = batch_audit(batch_df)
+
+        # D8: drop blacklisted DDL op types (create_table never — the
+        # constructor already excludes it); count the skips for lineage.
+        ddl_rows: list[tuple[int, str, str | None]] = []
+        ddl_skipped = 0
+        db_ops: list[tuple[int, dict]] = []
+        for lsn, dj, tname in all_ddls:
+            action = json.loads(dj).get("action")
+            if action in self.ddl_blacklist:
+                ddl_skipped += 1
+            elif action in ("create_database", "drop_database"):
+                db_ops.append((lsn, json.loads(dj)))
+            else:
+                ddl_rows.append((lsn, dj, tname))
+
+        # database-scope ops (DD4): catalog-level, applied first — the
+        # reference creates/drops the target dataset namespace.
+        if db_ops and self.database_base:
+            from database_delta_plugins_spark.sources import registry
+
+            for _lsn, op in sorted(db_ops, key=lambda x: x[0]):
+                if op["action"] == "create_database":
+                    registry.create_database(self.database_base, op["name"])
+                else:
+                    registry.drop_database(self.database_base, op["name"])
+
+        out = []
+        if self.tables is None:
+            out += self._apply_table_log(
+                self.table_path, dml,
+                [(lsn, dj) for lsn, dj, _t in ddl_rows],
+                epoch_id, plin, ddl_skipped, seg_prefix="")
+        else:
+            # per-table dispatch from one interleaved log
+            # (MySqlRecordConsumer.java:199-206): DML routes on
+            # table_name; a table's DDL only splits ITS segments.
+            for tname, tpath in self.tables.items():
+                t_dml = dml.filter(F.col("table_name") == tname)
+                t_ddls = [(lsn, dj) for lsn, dj, tn in ddl_rows if tn == tname]
+                out += self._apply_table_log(
+                    tpath, t_dml, t_ddls, epoch_id, plin, ddl_skipped,
+                    seg_prefix=f"{tname}.")
+        # bound the mor segment-stack depth
+        if (self.compact_every and isinstance(epoch_id, int)
+                and epoch_id > 0 and epoch_id % self.compact_every == 0):
+            for tpath in ([self.table_path] if self.tables is None
+                          else self.tables.values()):
+                if LakeTable.exists(tpath):
+                    LakeTable.load(self.spark, tpath).compact(
+                        max_segments_per_bucket=1)
+        self.epoch_lineage.extend(out)
+        return out
+
+    def _apply_table_log(self, table_path: str, dml: DataFrame,
+                         ddl_rows: list[tuple[int, str]],
+                         epoch_id: int | str, plin: list[dict],
+                         ddl_skipped: int, seg_prefix: str) -> list[dict]:
+        """Apply one table's DML+DDL slice of the batch: split at DDL
+        boundaries, merge each segment as its own fenced sub-epoch,
+        apply each DDL transactionally between segments (A4)."""
+        table = LakeTable.load(self.spark, table_path)
         boundaries = [lsn for lsn, _ in ddl_rows]
         segments: list[tuple[str, int | None, int | None, list[tuple[int, str]]]] = []
         lo = None
         for i, b in enumerate(boundaries):
-            segments.append((f"{epoch_id}.{i}", lo, b, [(b, ddl_rows[i][1])]))
+            segments.append((f"{epoch_id}.{seg_prefix}{i}", lo, b, [(b, ddl_rows[i][1])]))
             lo = b
-        segments.append((f"{epoch_id}.{len(boundaries)}", lo, None, []))
+        segments.append((f"{epoch_id}.{seg_prefix}{len(boundaries)}", lo, None, []))
 
         out = []
         # half-open segments [lo, hi): a DML sharing the DDL's lsn applies
@@ -210,11 +288,11 @@ class CDCPipeline:
                 seg = seg.filter(F.col("lsn") >= lo_b)
             if hi_b is not None:
                 seg = seg.filter(F.col("lsn") < hi_b)
-            if seg_id not in table.committed_epochs():
+            if seg_id not in table.committed_epochs() and not table.is_dropped:
                 d = self._decoded(seg)
-                if boundaries:
-                    # rare DDL-splitting path: the batch-level audit can't
-                    # attribute rows to segments; re-aggregate per segment.
+                if boundaries or seg_prefix:
+                    # DDL-split or multi-table slice: the batch-level
+                    # audit can't attribute rows; re-aggregate.
                     seg_lin = partition_lineage(d, op_col="op_type")
                 else:
                     seg_lin = plin
@@ -225,9 +303,11 @@ class CDCPipeline:
                     transform=self._winner_transform,
                     extra_lineage={
                         "stream_epoch": str(epoch_id),
+                        "table": table.table_name,
                         "partition_lineage": seg_lin,
                         "events_skipped_unknown_op": sum(
                             p.get("unknown_ops", 0) for p in seg_lin),
+                        "ddl_skipped_blacklist": ddl_skipped,
                     },
                 )
                 table = table.refresh()
@@ -237,11 +317,6 @@ class CDCPipeline:
                 changed = table.apply_ddl(json.loads(ddl_json), lsn=lsn)
                 if changed:
                     table = table.refresh()
-        # bound the mor segment-stack depth
-        if (self.compact_every and isinstance(epoch_id, int)
-                and epoch_id > 0 and epoch_id % self.compact_every == 0):
-            table.compact(max_segments_per_bucket=1)
-        self.epoch_lineage.extend(out)
         return out
 
     # ------------------------------------------------------------- runners
@@ -255,7 +330,7 @@ class CDCPipeline:
     def start(self, available_now: bool = True, with_metrics: bool = False):
         """C1 lifecycle: returns the StreamingQuery (stop() to halt).
         with_metrics attaches a ThroughputListener (C3 health/metrics)."""
-        if not LakeTable.exists(self.table_path):
+        if not all(LakeTable.exists(p) for p in self._all_table_paths()):
             self.bootstrap(replicate_existing_data=False)
         if with_metrics and self.listener is None:
             from database_delta_plugins_spark.plans.metrics import ThroughputListener
@@ -274,12 +349,12 @@ class CDCPipeline:
     def run_to_completion(self, timeout_sec: int | None = None) -> LakeTable:
         q = self.start(available_now=True)
         q.awaitTermination(timeout_sec) if timeout_sec else q.awaitTermination()
-        return LakeTable.load(self.spark, self.table_path)
+        return LakeTable.load(self.spark, self._all_table_paths()[0])
 
     def apply_log_batch(self, events: DataFrame) -> LakeTable:
         """Batch-mode convenience: apply a whole (bounded) event log in one
         epoch — used by tests/queries; same code path as streaming."""
-        if not LakeTable.exists(self.table_path):
+        if not all(LakeTable.exists(p) for p in self._all_table_paths()):
             self.bootstrap(replicate_existing_data=False)
         self.apply_batch(events, "batch-0")
-        return LakeTable.load(self.spark, self.table_path)
+        return LakeTable.load(self.spark, self._all_table_paths()[0])

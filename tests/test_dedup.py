@@ -60,3 +60,42 @@ def test_minhash_deterministic(spark):
     a = sorted(map(tuple, minhash_lsh_pairs(_corpus(spark), threshold=0.5).collect()))
     b = sorted(map(tuple, minhash_lsh_pairs(_corpus(spark).repartition(5), threshold=0.5).collect()))
     assert a == b
+
+
+def test_hot_bucket_caps_bound_candidates(spark):
+    """Adversarial boilerplate corpus: every doc shares one hot shingle.
+    Uncapped, the inverted-index self-join is quadratic; with max_df the
+    candidate count is bounded and dropped_postings reports the bucket."""
+    from database_delta_plugins_spark.operators.dedup import (
+        _cap_postings,
+        dropped_postings,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+    from pyspark.sql import functions as F
+
+    n = 200
+    rows = [(i, f"common boilerplate header unique{i} tail{i} word{i}") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # every doc contains the shingle "common boilerplate header"
+    pairs = ngram_jaccard_pairs(df, threshold=0.01, max_df=10)
+    # candidates bounded by cap^2/2 (45), not n^2/2 (19900)
+    assert pairs.count() <= 45
+    base = shingles(df.select("doc_id", "text")).select(
+        F.col("doc_id").alias("id"), F.explode("shingles").alias("sh"))
+    hot = dropped_postings(base, ["sh"], cap=10).collect()
+    assert any(r["postings"] == n for r in hot)  # the boilerplate shingle
+
+
+def test_simhash_neardup_pairs_exact_verified(spark):
+    from database_delta_plugins_spark.operators.dedup import simhash_neardup_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "the quick brown fox jumps over the lazy dog again and again tonight"),
+        (3, "completely different content about spark engines and parquet files"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = simhash_neardup_pairs(df, max_hamming=16, threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+    assert 0.5 <= got[0]["jaccard"] < 1.0

@@ -100,3 +100,51 @@ def test_truncate_table_ddl(spark, tmp_path):
     t.merge(_upd(spark, [("b", "w", "de", "I", 51, 0)]), epoch_id=2)
     t = t.refresh()
     assert t.read().count() == 1
+
+
+def test_snapshot_metadata_bounded(spark, tmp_path):
+    """Snapshot size is O(buckets + keep_epochs), NOT O(total epochs):
+    full lineage spills to the append-only sidecar (lineage_log), the
+    snapshot keeps only compact fencing records for the last K epochs."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from database_delta_plugins_spark.lake.table import LakeTable
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "bounded"), schema, key="url",
+                         num_buckets=2, write_mode="mor",
+                         properties={"keep_epochs": 10})
+    upd_schema = "url string, text string, op_type string, lsn long, seq long"
+    for e in range(30):
+        df = spark.createDataFrame([("a", f"v{e}", "U" if e else "I", e + 1, 0)], upd_schema)
+        t.merge(df, epoch_id=e)
+        t = t.refresh()
+        if e % 8 == 7:  # the pipeline's periodic compaction bounds the
+            t.compact()  # mor segment-stack term of the manifest
+            t = t.refresh()
+    assert len(t.committed_epochs()) == 10            # trimmed
+    assert len(t.lineage_log()) == 30                 # full audit retained
+    # recent epochs still fence
+    rec = t.merge(spark.createDataFrame([("a", "dup", "U", 30, 0)], upd_schema),
+                  epoch_id=29)
+    assert rec["skipped_replay"] is True
+    # snapshot JSON size stays flat as epochs accumulate
+    meta = str(tmp_path / "bounded") + "/_meta"
+    sizes = sorted((int(fn[1:-5]), _os.path.getsize(f"{meta}/{fn}"))
+                   for fn in _os.listdir(meta)
+                   if fn.startswith("v") and fn.endswith(".json"))
+    # final snapshot no bigger than ~the mid-run one (both past the
+    # keep_epochs window and compaction cycle): O(buckets + K), not O(epochs)
+    v_mid, s_mid = sizes[len(sizes) // 2]
+    v_end, s_end = sizes[-1]
+    assert s_end < 1.6 * s_mid, f"snapshot grew v{v_mid}:{s_mid} -> v{v_end}:{s_end}"
+    snap = _json.load(open(f"{meta}/v{v_end}.json"))
+    assert all(set(v.keys()) <= {"epoch_id", "committed_version", "rows_applied",
+                                 "max_lsn", "skipped_replay"}
+               for v in snap["epochs"].values())

@@ -126,3 +126,87 @@ def test_snapshot_then_tail(spark, sf_dir, tmp_path):
     still_snap = t.read().filter(F.col("text").startswith("SNAP:")).count()
     assert still_snap < snap.count()
     assert t.read().count() > 0
+
+
+def test_ddl_blacklist_and_drop_rename(spark, sf_dir, tmp_path):
+    """D8: blacklisted DDL op types are skipped (create_table never
+    blacklistable — constructor strips it); DD2/DD4: rename_table and
+    drop_table→create_table revive mid-log
+    (ref: mysql/MySqlRecordConsumer.java:246-356)."""
+    log = str(tmp_path / "log_bl")
+    ddls = [
+        (300, json.dumps({"action": "add_column", "name": "zzz", "type": "int"})),
+        (500, json.dumps({"action": "rename_table", "new_name": "pages_v2"})),
+    ]
+    write_event_log(spark, sf_dir, log, revs=2, n_files=2, ddls=ddls)
+    p = CDCPipeline(spark, log, str(tmp_path / "t_bl"), str(tmp_path / "c_bl"),
+                    num_buckets=4,
+                    ddl_blacklist={"add_column", "create_table"})
+    assert "create_table" not in p.ddl_blacklist
+    t = p.run_to_completion()
+    assert "zzz" not in t.read().columns          # blacklisted DDL skipped
+    assert t.table_name == "pages_v2"             # rename applied
+    assert any(r.get("ddl_skipped_blacklist") for r in p.epoch_lineage)
+
+
+def test_drop_table_then_create_revives(spark, sf_dir, tmp_path):
+    """drop_table mid-log: DML between drop and create is skipped; a
+    create_table revives the table and later DML applies."""
+    log = str(tmp_path / "log_dr")
+    ddls = [
+        (700, json.dumps({"action": "drop_table"})),
+        (900, json.dumps({"action": "create_table"})),
+    ]
+    write_event_log(spark, sf_dir, log, revs=3, n_files=2, ddls=ddls)
+    p = CDCPipeline(spark, log, str(tmp_path / "t_dr"), str(tmp_path / "c_dr"),
+                    num_buckets=4)
+    t = p.run_to_completion()
+    assert not t.is_dropped
+    # only events at lsn >= 900 survive (drop cleared everything before;
+    # [700, 900) DML hit the dropped table and was skipped)
+    assert t.scan().agg(F.min("_lsn")).head()[0] >= 900
+    assert t.read().count() > 0
+
+
+def test_multi_table_pipeline(spark, sf_dir, tmp_path):
+    """Multi-table replication from ONE interleaved log: per-table DML
+    routing and per-table DDL (mysql/MySqlTableRegistry.java:57-133);
+    result equals running each table's slice alone (replay equivalence
+    across the table dimension)."""
+    from database_delta_plugins_spark.sources.generator import rich_events_df
+
+    base = rich_events_df(spark, sf_dir, revs=2, with_html=False)
+    pages = base.withColumn("table_name", F.lit("pages"))
+    posts = (
+        base.withColumn("table_name", F.lit("posts"))
+        .withColumn("lsn", F.col("lsn") + 1)  # interleave strictly
+        .withColumn("after", F.when(F.col("after").isNotNull(),
+                                    F.col("after").withField(
+                                        "text", F.concat(F.lit("POST:"), F.col("after.text")))))
+    )
+    log = str(tmp_path / "log_mt")
+    pages.unionByName(posts).repartitionByRange(4, "lsn").write.parquet(log)
+
+    p = CDCPipeline(
+        spark, log, str(tmp_path / "unused"), str(tmp_path / "c_mt"),
+        num_buckets=4,
+        tables={"pages": str(tmp_path / "mt_pages"),
+                "posts": str(tmp_path / "mt_posts")},
+    )
+    p.run_to_completion()
+    tp = LakeTable.load(spark, str(tmp_path / "mt_pages"))
+    ts = LakeTable.load(spark, str(tmp_path / "mt_posts"))
+    n_pages, n_posts = tp.read().count(), ts.read().count()
+    assert n_pages > 0 and n_posts > 0
+    # no cross-contamination: posts texts all carry the POST: prefix
+    assert ts.read().filter(~F.col("text").startswith("POST:")).count() == 0
+    assert tp.read().filter(F.col("text").startswith("POST:")).count() == 0
+
+    # equivalence vs single-table runs over each slice
+    p1 = CDCPipeline(spark, log, str(tmp_path / "solo_pages"), str(tmp_path / "c_sp"),
+                     num_buckets=4)
+    p1.apply_log_batch(spark.read.parquet(log).filter(F.col("table_name") == "pages"))
+    solo = LakeTable.load(spark, str(tmp_path / "solo_pages"))
+    a = tp.read().orderBy("url").select("url", "text").toPandas()
+    b = solo.read().orderBy("url").select("url", "text").toPandas()
+    assert a.equals(b)

@@ -67,3 +67,42 @@ def test_neardup_finds_planted_duplicate(spark):
              cosine_neardup_pairs(df, dim=8, threshold=0.999, bits=4).collect()}
     assert (0, 1) in pairs
     assert (0, 2) not in pairs
+
+
+def test_ivf_build_query_split(spark):
+    """IVF build-once/query-many: the query path fits no model, reuses
+    the persisted cell assignment, and scans only nprobe cells."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from database_delta_plugins_spark.operators.similarity import (
+        cosine_topk,
+        ivf_build,
+        ivf_probe_cells,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(400, 16).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    assigned, centroids = ivf_build(df, n_cells=8)
+    assigned = assigned.persist()
+    try:
+        assert len(centroids) == 8
+        q = [float(x) for x in vecs[5]]
+        probes = ivf_probe_cells(centroids, q, nprobe=3)
+        assert len(probes) == 3
+        # query path scans only the probed cells
+        cand_n = assigned.filter(F.col("_cell").isin(probes)).count()
+        assert 0 < cand_n < 400
+        got = ivf_topk(df, q, k=5, nprobe=3, assigned=assigned, centroids=centroids)
+        rows = got.collect()
+        assert rows[0]["vec_id"] == 5  # the query vector itself wins
+        # recall vs exact for the probed fraction is sane: top-1 exact
+        exact = cosine_topk(df, q, k=5).collect()
+        assert rows[0]["vec_id"] == exact[0]["vec_id"]
+    finally:
+        assigned.unpersist()

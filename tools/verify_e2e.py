@@ -69,10 +69,15 @@ sA = stateA[["url", "text"]].reset_index(drop=True)
 print("ORACLE PARITY:", sA.equals(oracle.reset_index(drop=True)))
 
 # --- probe: lineage recorded per epoch ---
+# snapshot carries compact fencing records; full per-partition lineage
+# lives in the append-only sidecar (lineage_log)
 eps = tA.committed_epochs()
 k0 = sorted(eps)[0]
-print("sample lineage keys:", sorted(eps[k0].keys()))
-print("partition lineage sample:", eps[k0].get("partition_lineage", [])[:2])
+print("sample fence keys:", sorted(eps[k0].keys()))
+full = [r for r in tA.lineage_log() if r.get("partition_lineage")]
+assert full, "sidecar lineage must carry per-partition records"
+print("sample lineage keys:", sorted(full[0].keys()))
+print("partition lineage sample:", full[0]["partition_lineage"][:2])
 
 # --- probe: empty event log dir ---
 import os
