@@ -75,6 +75,44 @@ def main():
     sections.append(("small-side broadcast join", q4, p4))
     checks.append(("broadcast hash join chosen", "BroadcastHashJoin" in p4))
 
+    # 5. the STREAMING APPLY path (rich nested log): before-image pruning
+    # must drop before.html/text from the scan; the LWW winner join must
+    # be a broadcast; the pandas UDF (ArrowEvalPython) must evaluate on
+    # the post-join winner rows, not the full batch.
+    from database_delta_plugins_spark.functions.udfs import extract_text
+    from database_delta_plugins_spark.operators.lww import lww_reduce_late
+    from database_delta_plugins_spark.sources.generator import rich_events_df
+
+    rlog = "/tmp/audit_richlog"
+    rich_events_df(spark, SF, revs=3, with_html=True).write.mode("overwrite").parquet(rlog)
+    rraw = spark.read.parquet(rlog)
+    d5 = decode.decode_events(rraw, before_key_only="url")
+    w5 = lww_reduce_late(d5, key="url")
+    q5 = w5.withColumn("text", extract_text(F.col("html")))
+    p5 = plan_of(q5)
+    sections.append(("apply path: pruned decode -> late LWW -> winner-only UDF", q5, p5))
+    checks.append(("before image pruned to key (no before.html in ReadSchema)",
+                   "before:struct<url:string>" in p5.replace(" ", "")
+                   or not re.search(r"before:struct<[^>]*html", p5)))
+    checks.append(("LWW winner join is broadcast", "BroadcastHashJoin" in p5))
+    checks.append(("pandas UDF after the winner join (ArrowEvalPython above BroadcastHashJoin)",
+                   "ArrowEvalPython" in p5
+                   and p5.index("ArrowEvalPython") < p5.index("BroadcastHashJoin")))
+    # formatted explain lists operators top-down: the UDF node printing
+    # BEFORE the join node means it consumes the join's output.
+
+    # 6. IVF query path: cell filter must prune before the cosine scan.
+    from database_delta_plugins_spark.operators.similarity import ivf_build
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    assigned, cents = ivf_build(emb, n_cells=8)
+    q6 = assigned.filter(F.col("_cell").isin([0, 1]))
+    p6 = plan_of(q6)
+    sections.append(("IVF query: cell pruning filter", q6, p6))
+    checks.append(("IVF query fits no KMeans (no MLlib stage)",
+                   "KMeans" not in p6 and "TreeAggregate" not in p6))
+
     with open(_os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write("# EXPLAIN audit — hot-path physical plans\n\n")
         f.write("Checks:\n\n")
