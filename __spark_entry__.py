@@ -15,6 +15,7 @@ oracle results are compared over the same input with no side channels.
 
 from __future__ import annotations
 
+import datetime as _dt
 import shutil
 import tempfile
 from collections.abc import Callable
@@ -180,6 +181,64 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+def _drain_stream(writer_df, sink_name: str, spark: SparkSession) -> DataFrame:
+    q = (
+        writer_df.writeStream.format("memory").queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ck_{sink_name}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"select * from {sink_name}")
+
+
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming: readStream -> watermark -> tumbling
+    window agg, drained with availableNow. Emitted (finalized) windows
+    are exactly those whose end <= final watermark (max ts - 2h), which
+    the batch oracle expresses directly — streaming semantics under a
+    value-checked SQL oracle."""
+    from database_delta_plugins_spark.streaming.analytics import (
+        hourly_counts_stream,
+        read_events_stream,
+        write_time_ordered_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="evstream_")
+    write_time_ordered_stream(spark, _events(spark, sf_dir), d, n_chunks=4)
+    src = read_events_stream(spark, d, max_files_per_trigger=2)
+    out = _drain_stream(hourly_counts_stream(src, watermark="2 hours"),
+                        "q_stream_hourly_sink", spark)
+    max_ts = _events(spark, sf_dir).agg(F.max("ts")).head()[0]
+    wm = max_ts - _dt.timedelta(hours=2)
+    return out.filter(F.col("hour") + F.expr("INTERVAL 1 HOUR") <= F.lit(wm))
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    event-time sessionization with a 30-min gap; closed sessions whose
+    close point is behind the final watermark are deterministic and
+    checked against a batch window-function oracle."""
+    from database_delta_plugins_spark.streaming.analytics import (
+        read_events_stream,
+        sessionize_stream,
+        write_time_ordered_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="evstream2_")
+    write_time_ordered_stream(spark, _events(spark, sf_dir), d, n_chunks=4)
+    src = read_events_stream(spark, d, max_files_per_trigger=2)
+    out = _drain_stream(sessionize_stream(src, gap_sec=1800, watermark="2 hours"),
+                        "q_stream_sessions_sink", spark)
+    max_ts = _events(spark, sf_dir).agg(F.max("ts")).head()[0]
+    wm = max_ts - _dt.timedelta(hours=2)
+    cutoff = F.lit(wm) - F.expr("INTERVAL 30 MINUTES")
+    return out.filter(F.col("session_end") <= cutoff).select(
+        "user_id", "session_start", "session_end",
+        F.col("n_events").cast("long").alias("n_events"))
 
 
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,6 +409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_snapshot_read": q_s1_snapshot_read,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
+        "stream_hourly": q_stream_hourly,
+        "stream_sessions": q_stream_sessions,
         "dedup_exact": q_dedup_exact,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -601,6 +662,41 @@ def oracle_sql() -> dict[str, str]:
           SELECT date_trunc('hour', ts) AS hour, event_type,
                  count(*) AS n, round(sum(value), 4) AS total_value
           FROM events GROUP BY 1, 2
+        """,
+        # TRUE streaming queries: the drained stream's emitted set is the
+        # deterministic watermark-finalized prefix, expressed directly
+        "stream_hourly": """
+          WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
+          SELECT date_trunc('hour', ts) AS hour, event_type,
+                 count(*) AS n, round(sum(value), 4) AS total_value
+          FROM events GROUP BY 1, 2
+          HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+        """,
+        "stream_sessions": """
+          WITH g AS (
+            SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+            FROM events
+          ),
+          s AS (
+            SELECT user_id, ts,
+                   CASE WHEN pts IS NULL OR epoch(ts - pts) > 1800 THEN 1 ELSE 0 END AS ns
+            FROM g
+          ),
+          s2 AS (
+            SELECT user_id, ts,
+                   sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+            FROM s
+          ),
+          sess AS (
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM s2 GROUP BY user_id, sid
+          ),
+          wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
+          SELECT user_id, session_start, session_end, n_events
+          FROM sess
+          WHERE session_end <= (SELECT w FROM wm) - INTERVAL 30 MINUTE
         """,
         "events_sessions": """
           WITH g AS (

@@ -1,0 +1,189 @@
+"""Structured-Streaming analytics over the event stream: watermarked
+windowed aggregation and custom stateful sessionization.
+
+The CDC apply path (pipeline.py) uses foreachBatch because its sink is
+transactional; these operators cover the OTHER streaming shapes the
+engine needs for the analytics side of an ingest platform:
+
+* ``hourly_counts_stream`` — readStream -> withWatermark -> window agg.
+  Late events beyond the watermark are dropped deterministically; state
+  is bounded by (watermark horizon / window) regardless of stream length
+  — the 10^10-event requirement for any continuous aggregation.
+* ``sessionize_stream`` — applyInPandasWithState: per-user session
+  windows with an inactivity gap, emitted when the watermark passes the
+  session end + gap. State per key is one (start, end, count) triple —
+  O(active users), not O(events).
+
+Both run with ``availableNow`` for bounded drains (tests/bench) or
+continuously; sinks are caller-chosen (memory/parquet/foreachBatch).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType(), True),
+    T.StructField("user_id", T.LongType(), True),
+    T.StructField("event_type", T.StringType(), True),
+    T.StructField("ts", T.TimestampType(), True),
+    T.StructField("value", T.DoubleType(), True),
+])
+
+
+def write_time_ordered_stream(spark: SparkSession, src: DataFrame,
+                              out_dir: str, n_chunks: int = 4,
+                              ts_col: str = "ts") -> None:
+    """Materialize a DataFrame as a directory of event-time-ordered
+    chunks for the file-stream source. Spark's FileStreamSource batches
+    files by MODIFICATION time, not name — a single parallel write gives
+    all parts one mtime and arbitrary arrival order, so older rows can
+    land after the watermark passed them and be dropped as late. Real
+    feeds (binlog, Kafka) arrive in time order; we emulate that by
+    writing the chunks sequentially (ascending mtimes)."""
+    import time as _time
+
+    bounds = src.select(
+        *[F.percentile_approx(ts_col, i / n_chunks, 10_000).alias(f"q{i}")
+          for i in range(1, n_chunks)]
+    ).head()
+    edges = [bounds[f"q{i}"] for i in range(1, n_chunks)]
+    lo = None
+    for i in range(n_chunks):
+        hi = edges[i] if i < len(edges) else None
+        part = src
+        if lo is not None:
+            part = part.filter(F.col(ts_col) > lo)
+        if hi is not None:
+            part = part.filter(F.col(ts_col) <= hi)
+        part.coalesce(1).write.mode("append").parquet(out_dir)
+        _time.sleep(1.1)  # distinct mtimes (FileStreamSource granularity)
+        lo = hi
+
+
+def read_events_stream(spark: SparkSession, events_dir: str,
+                       max_files_per_trigger: int = 4,
+                       schema: T.StructType = EVENTS_SCHEMA) -> DataFrame:
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+
+
+def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation (append mode): one row per
+    (hour, event_type) finalized once the watermark passes the window
+    end. State is bounded by the watermark horizon — late data inside it
+    updates the window, beyond it is dropped (counted by Spark's
+    numDroppedRows metric)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("hour"), "event_type", "n", "total_value")
+    )
+
+
+SESSION_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType(), False),
+    T.StructField("session_start", T.TimestampType(), True),
+    T.StructField("session_end", T.TimestampType(), True),
+    T.StructField("n_events", T.LongType(), True),
+])
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("start_us", T.LongType(), True),
+    T.StructField("end_us", T.LongType(), True),
+    T.StructField("n", T.LongType(), True),
+])
+
+
+def _sessionize_fn(gap_sec: int):
+    gap_ms = gap_sec * 1000
+
+    gap_us = gap_ms * 1000
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+           ) -> Iterator[pd.DataFrame]:
+        # state keeps MICROSECONDS (full timestamp precision round-trips)
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(end_us, unit="us")],
+                "n_events": [n],
+            })
+            return
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            ts_us.extend(int(t.value // 1_000) for t in pd.to_datetime(pdf["ts"]))
+        ts_us.sort()
+        if state.exists:
+            start_us, end_us, n = state.get
+        else:
+            start_us, end_us, n = ts_us[0], ts_us[0], 0
+        closed = []
+        for t in ts_us:
+            if n and t - end_us > gap_us:
+                closed.append((start_us, end_us, n))
+                start_us, n = t, 0
+            end_us = max(end_us, t)
+            n += 1
+        timeout_ms = (end_us + gap_us) // 1000 + 1
+        if timeout_ms <= state.getCurrentWatermarkMs():
+            # the watermark already passed the session's close point
+            # (can happen when this key's batch slice is processed after
+            # other slices advanced the watermark): close immediately.
+            closed.append((start_us, end_us, n))
+            state.remove() if state.exists else None
+        else:
+            state.update((start_us, end_us, n))
+            # close the open session after gap_sec of event-time inactivity
+            state.setTimeoutTimestamp(timeout_ms)
+        if closed:
+            yield pd.DataFrame({
+                "user_id": [user_id] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _e, _n in closed],
+                "session_end": [pd.Timestamp(e, unit="us") for _s, e, _n in closed],
+                "n_events": [c for _s, _e, c in closed],
+            })
+
+    return fn
+
+
+def sessionize_stream(events: DataFrame, gap_sec: int = 1800,
+                      watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: event-time
+    sessions per user with an inactivity gap. A session closes (and is
+    emitted) either when a newer event arrives past the gap, or when the
+    event-time timeout fires after the watermark passes session_end+gap.
+    State per user is one compact triple — memory is O(active users)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn(gap_sec),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _utc(ts) -> _dt.datetime:
+    return ts if ts.tzinfo else ts.replace(tzinfo=_dt.timezone.utc)

@@ -1,0 +1,105 @@
+"""Structured-Streaming analytics: watermarked windowed agg equals the
+batch aggregation on a bounded drain; stateful sessionization
+(applyInPandasWithState) matches the batch window-function sessionizer."""
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from database_delta_plugins_spark.streaming.analytics import (
+    hourly_counts_stream,
+    read_events_stream,
+    sessionize_stream,
+)
+
+
+def _drain(q, timeout=180):
+    q.awaitTermination(timeout)
+    deadline = time.time() + 10
+    while q.isActive and time.time() < deadline:
+        time.sleep(0.2)
+
+
+def _stream_dir(spark, sf_dir, tmp_path) -> str:
+    """File-stream source needs a DIRECTORY of time-ordered chunks (the
+    arrival-order analogue of a binlog feed)."""
+    from database_delta_plugins_spark.streaming.analytics import (
+        write_time_ordered_stream,
+    )
+
+    d = str(tmp_path / "events_stream")
+    write_time_ordered_stream(
+        spark, spark.read.parquet(f"{sf_dir}/events.parquet"), d, n_chunks=4)
+    return d
+
+
+def test_hourly_counts_stream_equals_batch(spark, sf_dir, tmp_path):
+    events_dir = _stream_dir(spark, sf_dir, tmp_path)
+    src = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    out = hourly_counts_stream(src)
+    q = (
+        out.writeStream.format("memory").queryName("hourly_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = spark.sql("select * from hourly_sink").orderBy("hour", "event_type")
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .orderBy("hour", "event_type")
+    )
+    # append mode only FINALIZES windows behind the final watermark; on a
+    # bounded drain the tail windows stay open, so the emitted rows must
+    # be a prefix-subset of the batch result and exactly match on values.
+    g = {(r["hour"], r["event_type"]): (r["n"], r["total_value"]) for r in got.collect()}
+    b = {(r["hour"], r["event_type"]): (r["n"], r["total_value"]) for r in batch.collect()}
+    assert len(g) > 0
+    assert set(g) <= set(b)
+    assert all(g[k] == b[k] for k in g)
+    # everything except the open watermark tail was finalized
+    max_hour = max(h for h, _t in b)
+    missing = set(b) - set(g)
+    assert all((max_hour - h).total_seconds() <= 3 * 3600 for h, _t in missing)
+
+
+def test_sessionize_stream_matches_batch(spark, sf_dir, tmp_path):
+    events_dir = _stream_dir(spark, sf_dir, tmp_path)
+    src = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    out = sessionize_stream(src, gap_sec=1800)
+    q = (
+        out.writeStream.format("memory").queryName("sess_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cks"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = spark.sql("select * from sess_sink")
+    # batch sessionizer (same gap) for ground truth
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("_ns", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("_sid", F.sum("_ns").over(w))
+    )
+    batch = (
+        ev.groupBy("user_id", "_sid")
+        .agg(F.min("ts").alias("session_start"), F.max("ts").alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+    g = {(r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+         for r in got.collect()}
+    b = {(r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+         for r in batch.collect()}
+    assert len(g) > 0
+    # every emitted (closed) session must be a true batch session;
+    # the stream may still hold open sessions near the final watermark
+    assert set(g) <= set(b)
+    assert all(g[k] == b[k] for k in g)
+    # and most sessions should have closed on a bounded drain
+    assert len(g) >= 0.5 * len(b)

@@ -44,6 +44,16 @@ def main() -> None:
                     help="drain the log and exit (else run continuously)")
     ap.add_argument("--conf-arg", action="append", default=[],
                     metavar="K=V", help="runtime arg, e.g. source.connector.num_buckets=64")
+    ap.add_argument("--table-map", action="append", default=[],
+                    metavar="NAME=PATH",
+                    help="multi-table replication: route DML/DDL with "
+                         "table_name NAME into the LakeTable at PATH "
+                         "(repeatable; overrides --table)")
+    ap.add_argument("--ddl-blacklist", default="",
+                    help="comma-separated DDL actions to skip "
+                         "(create_table is never blacklistable)")
+    ap.add_argument("--dml-blacklist", default="",
+                    help="comma-separated op types to skip, e.g. D")
     args = ap.parse_args()
 
     from database_delta_plugins_spark.session import get_spark
@@ -60,13 +70,21 @@ def main() -> None:
         normalize_lang=args.normalize_lang,
         write_mode=args.write_mode,
         runtime_args=runtime_args,
+        tables=(dict(kv.split("=", 1) for kv in args.table_map)
+                if args.table_map else None),
+        ddl_blacklist=(set(args.ddl_blacklist.split(","))
+                       if args.ddl_blacklist else None),
+        dml_blacklist=(set(args.dml_blacklist.split(","))
+                       if args.dml_blacklist else None),
     )
     pipe.bootstrap(replicate_existing_data=False)
     q = pipe.start(available_now=args.available_now, with_metrics=True)
     q.awaitTermination()
     from database_delta_plugins_spark.lake.table import LakeTable
 
-    t = LakeTable.load(spark, args.table)
+    target = (args.table_map[0].split("=", 1)[1] if args.table_map
+              else args.table)
+    t = LakeTable.load(spark, target)
     print(json.dumps({
         "table_version": t.version,
         "epochs": len(t.committed_epochs()),
