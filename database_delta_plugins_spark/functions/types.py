@@ -130,3 +130,20 @@ def make_charset_decoder(charset: str = "utf-8"):
         return b.map(conv)
 
     return decode_bytes
+
+
+def binary_handling(col: Column, mode: str = "bytes") -> Column:
+    """Config-driven binary column handling (the reference's
+    'binary.handling.mode' connector knob; with HEX mode the emitted
+    schema becomes string — MySqlEventReaderIntegrationTest.java:279-303,
+    fixture F6 binarycoltable). Modes: bytes (identity, BinaryType) ·
+    hex (lowercase hex string, Debezium convention) · base64 (string).
+    Pure Catalyst — wire into the pipeline via the merge transform hook
+    or a decode projection."""
+    if mode == "bytes":
+        return col
+    if mode == "hex":
+        return F.lower(F.hex(col))
+    if mode == "base64":
+        return F.base64(col)
+    raise ValueError(f"unknown binary handling mode {mode!r}")

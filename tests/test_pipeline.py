@@ -210,3 +210,26 @@ def test_multi_table_pipeline(spark, sf_dir, tmp_path):
     a = tp.read().orderBy("url").select("url", "text").toPandas()
     b = solo.read().orderBy("url").select("url", "text").toPandas()
     assert a.equals(b)
+
+
+def test_unknown_op_counted_and_skipped(spark, sf_dir, tmp_path):
+    """D2 skip-and-warn analogue: events with an unknown op code are
+    dropped from the apply but COUNTED in lineage
+    (ref: MySqlRecordConsumer.java:170-183)."""
+    from database_delta_plugins_spark.sources.generator import rich_events_df
+
+    base = rich_events_df(spark, sf_dir, revs=2, with_html=False)
+    weird = (
+        base.limit(3)
+        .withColumn("op", F.lit("x"))           # unknown op code
+        .withColumn("lsn", F.col("lsn") + 100000)
+    )
+    log = str(tmp_path / "log_unk")
+    base.unionByName(weird).repartitionByRange(2, "lsn").write.parquet(log)
+    p = CDCPipeline(spark, log, str(tmp_path / "t_unk"), str(tmp_path / "c_unk"),
+                    num_buckets=4)
+    t = p.run_to_completion()
+    skipped = sum(r.get("events_skipped_unknown_op", 0) for r in p.epoch_lineage)
+    assert skipped == 3
+    # and none of the unknown-op rows were applied
+    assert t.scan().filter(F.col("_lsn") > 100000).count() == 0

@@ -87,3 +87,27 @@ def test_charset_decode_with_fallback(spark):
     bogus = make_charset_decoder("not-a-charset")
     got2 = df.select(bogus(F.col("b")).alias("o")).collect()[0]["o"]
     assert got2 == "caf�"
+
+
+def test_binary_handling_modes(spark):
+    """F6 binarycoltable: binary(16) under bytes/hex/base64 handling —
+    hex/base64 change the emitted type to string (config-driven schema
+    variation, MySqlEventReaderIntegrationTest.java:279-303)."""
+    import base64
+
+    from pyspark.sql import functions as F
+
+    from database_delta_plugins_spark.functions.types import binary_handling
+
+    payload = bytes(range(16))
+    df = spark.createDataFrame([(1, payload)], "id int, bincol binary")
+    out = df.select(
+        binary_handling(F.col("bincol"), "bytes").alias("b"),
+        binary_handling(F.col("bincol"), "hex").alias("h"),
+        binary_handling(F.col("bincol"), "base64").alias("b64"),
+    )
+    assert dict(out.dtypes) == {"b": "binary", "h": "string", "b64": "string"}
+    r = out.head()
+    assert bytes(r["b"]) == payload
+    assert r["h"] == payload.hex()
+    assert base64.b64decode(r["b64"]) == payload
