@@ -74,3 +74,41 @@ def test_lww_late_dedupes_exact_duplicate_events(spark):
     out = lww_reduce_late(df, key="url").collect()
     assert sorted((r["url"], r["text"]) for r in out) == [("a", "x"), ("b", "y")]
     assert len(out) == 2
+
+
+def test_lww_equals_sequential_apply_randomized(spark):
+    """The core semantic transplant (SURVEY §4): per-key LWW reduce over
+    (lsn, seq) == the reference's single-threaded sequential apply, for
+    ANY event interleaving. Randomized over seeds; sequential oracle in
+    plain Python."""
+    import random
+
+    from database_delta_plugins_spark.operators.lww import (
+        lww_reduce,
+        lww_reduce_late,
+        lww_reduce_salted,
+    )
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        keys = [f"k{i}" for i in range(8)]
+        events = []
+        for lsn in range(60):
+            k = rng.choice(keys)
+            op = rng.choice(["I", "U", "U", "D"])
+            events.append((k, lsn, 0, op, f"v{lsn}"))
+        # sequential apply in arrival (lsn) order — the reference's model
+        state = {}
+        for k, lsn, _seq, op, val in sorted(events, key=lambda e: e[1]):
+            if op == "D":
+                state.pop(k, None)
+            else:
+                state[k] = val
+        rng.shuffle(events)  # adversarial arrival order
+        df = spark.createDataFrame(
+            events, "url string, lsn long, seq long, op_type string, text string")
+        for reduce_fn in (lww_reduce, lww_reduce_salted, lww_reduce_late):
+            out = reduce_fn(df, key="url")
+            visible = {r["url"]: r["text"] for r in out.collect()
+                       if r["op_type"] != "D"}
+            assert visible == state, f"seed={seed} fn={reduce_fn.__name__}"

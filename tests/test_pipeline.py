@@ -233,3 +233,41 @@ def test_unknown_op_counted_and_skipped(spark, sf_dir, tmp_path):
     assert skipped == 3
     # and none of the unknown-op rows were applied
     assert t.scan().filter(F.col("_lsn") > 100000).count() == 0
+
+
+def test_multi_table_kill_restart_replay(spark, sf_dir, tmp_path):
+    """Replay equivalence ACROSS tables: kill the multi-table pipeline
+    mid-stream, restart from checkpoint — both tables' final state equals
+    the uninterrupted run's."""
+    from database_delta_plugins_spark.sources.generator import rich_events_df
+
+    base = rich_events_df(spark, sf_dir, revs=2, with_html=False)
+    posts = base.withColumn("table_name", F.lit("posts")).withColumn("lsn", F.col("lsn") + 1)
+    log = str(tmp_path / "log_mtr")
+    base.unionByName(posts).repartitionByRange(4, "lsn").write.parquet(log)
+
+    def run(tag, kill_first=False):
+        p = CDCPipeline(
+            spark, log, str(tmp_path / f"unused_{tag}"), str(tmp_path / f"ck_{tag}"),
+            num_buckets=4, max_files_per_trigger=2,
+            tables={"pages": str(tmp_path / f"{tag}_pages"),
+                    "posts": str(tmp_path / f"{tag}_posts")},
+        )
+        if kill_first:
+            q = p.start()
+            deadline = time.time() + 120
+            while not p.epoch_lineage and time.time() < deadline:
+                time.sleep(0.2)
+            q.stop()
+            q.awaitTermination(60)
+        p.run_to_completion()
+        return [
+            LakeTable.load(spark, str(tmp_path / f"{tag}_{t}"))
+            .read().orderBy("url").select("url", "text").toPandas()
+            for t in ("pages", "posts")
+        ]
+
+    a_pages, a_posts = run("a")
+    b_pages, b_posts = run("b", kill_first=True)
+    assert a_pages.equals(b_pages)
+    assert a_posts.equals(b_posts)
