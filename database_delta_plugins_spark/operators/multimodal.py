@@ -117,3 +117,52 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     n_frames = (F.col("meta.duration_ms") / 1000).cast("int") + 1
     idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
     return vids.select("media_id", F.explode(idx).alias("frame_idx"))
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("meta", MEDIA_META, True),
+])
+
+
+def resize_media(df: DataFrame, target_w: int, target_h: int,
+                 fake: bool = True) -> DataFrame:
+    """Resize plumbing via mapInPandas: metadata-pruned (only image/video
+    rows wider than the target are touched), Arrow-batched, output keeps
+    the media schema with updated dims. fake=True produces a
+    deterministic size-scaled payload (length scales with the pixel
+    ratio) so the distributed path is testable end-to-end; fake=False is
+    where a real resampler (PIL/libav) plugs in — not available in this
+    container."""
+    needs = df.filter(
+        (F.col("meta.kind").isin("image", "video"))
+        & ((F.col("meta.width") > target_w) | (F.col("meta.height") > target_h))
+    )
+    passthrough = df.exceptAll(needs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media resize requires image libs not present in "
+                    "this environment; use fake=True for plumbing tests")
+            payloads, metas = [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                if payload is None or meta is None:
+                    payloads.append(payload)
+                    metas.append(meta)
+                    continue
+                w, h = meta["width"], meta["height"]
+                ratio = (target_w * target_h) / max(w * h, 1)
+                new_len = max(int(len(payload) * min(ratio, 1.0)), 1)
+                m = dict(meta.asDict() if hasattr(meta, "asDict") else meta)
+                m["width"], m["height"] = min(w, target_w), min(h, target_h)
+                m["n_bytes"] = new_len
+                payloads.append(bytes(payload[:new_len]))
+                metas.append(m)
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "payload": payloads, "meta": metas})
+
+    resized = needs.mapInPandas(run, schema=RESIZED_SCHEMA)
+    return passthrough.select("media_id", "payload", "meta").unionByName(resized)

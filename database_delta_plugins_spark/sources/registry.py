@@ -81,6 +81,8 @@ def assess_schema(name: str, schema: T.StructType, key: str | None = None) -> Ta
 def list_tables(spark: SparkSession, root: str) -> list[str]:
     """Registry scan over a directory of parquet tables and/or LakeTables
     (the JDBC getTables analogue)."""
+    if os.path.exists(os.path.join(root, "_DROPPED")):
+        return []  # dropped namespace (see drop_database)
     names = []
     for entry in sorted(os.listdir(root)):
         p = os.path.join(root, entry)

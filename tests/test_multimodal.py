@@ -34,3 +34,27 @@ def test_frame_sample(spark):
     fs = frame_sample(media, every_n=5)
     assert fs.filter(F.col("frame_idx") % 5 != 0).count() == 0
     assert fs.select("media_id").distinct().count() == media.filter(F.col("meta.kind") == "video").count()
+
+
+def test_resize_media_plumbing(spark):
+    from pyspark.sql import functions as F
+
+    from database_delta_plugins_spark.operators.multimodal import (
+        resize_media,
+        synth_media_df,
+    )
+
+    media = synth_media_df(spark, n=60)
+    out = resize_media(media, target_w=128, target_h=128)
+    assert out.count() == 60
+    big = out.filter(F.col("meta.kind").isin("image", "video")).collect()
+    assert all(r["meta"]["width"] <= 128 or r["meta"]["kind"] == "audio" for r in big)
+    # audio rows pass through untouched
+    audio_in = {r["media_id"]: bytes(r["payload"])
+                for r in media.filter(F.col("meta.kind") == "audio").collect()}
+    audio_out = {r["media_id"]: bytes(r["payload"])
+                 for r in out.filter(F.col("meta.kind") == "audio").collect()}
+    assert audio_in == audio_out
+    # resized payloads shrink proportionally, never grow
+    for r in out.collect():
+        assert r["meta"]["n_bytes"] is None or len(bytes(r["payload"])) <= 400
