@@ -82,13 +82,20 @@ def _loadavg() -> float:
         return float(f.read().split()[0])
 
 
-def _wait_for_quiet(max_wait_sec: int = 180) -> float:
+_WAIT_BUDGET = [int(os.environ.get("BENCH_WAIT_BUDGET", "360"))]
+
+
+def _wait_for_quiet(max_wait_sec: int = 120) -> float:
     """External tenant bursts poison wall timings; wait (bounded) for the
-    1-min load to decay below LOAD_MAX before a timed run."""
+    1-min load to decay below LOAD_MAX before a timed run. The wait
+    budget is GLOBAL across the whole bench so a persistently loaded
+    host degrades to noisy-but-complete numbers instead of a timeout."""
     waited = 0
-    while _loadavg() > LOAD_MAX and waited < max_wait_sec:
+    while (_loadavg() > LOAD_MAX and waited < max_wait_sec
+           and _WAIT_BUDGET[0] > 0):
         time.sleep(15)
         waited += 15
+        _WAIT_BUDGET[0] -= 15
     return _loadavg()
 
 

@@ -665,6 +665,27 @@ class LakeTable:
         with open(p) as f:
             return [json.loads(ln) for ln in f if ln.strip()]
 
+    def record_epoch(self, epoch_id: str | int, note: str = "skipped") -> dict:
+        """Metadata-only epoch fence: commits a zero-row record so a
+        deliberately-skipped segment (e.g. DML addressed to a dropped
+        table) is NOT re-applied on replay — without this, a restart
+        after a later create_table revive would apply DML that the
+        original run correctly discarded (replay-equivalence)."""
+        eid = str(epoch_id)
+        if eid in self.snap["epochs"]:
+            rec = dict(self.snap["epochs"][eid])
+            rec["skipped_replay"] = True
+            return rec
+        snap = json.loads(json.dumps(self.snap))
+        rec = {"epoch_id": eid, "committed_version": self.version + 1,
+               "rows_applied": 0, "max_lsn": None, "skipped_replay": False,
+               "note": note}
+        snap["epochs"][eid] = rec
+        snap["version"] = self.version + 1
+        self._write_snapshot(snap)
+        self._append_lineage(dict(rec))
+        return rec
+
     # -------------------------------------------------------- maintenance
     def compact(self, max_segments_per_bucket: int = 1) -> dict:
         """Segment-stack compaction: fold every bucket holding more than

@@ -288,6 +288,12 @@ class CDCPipeline:
                 seg = seg.filter(F.col("lsn") >= lo_b)
             if hi_b is not None:
                 seg = seg.filter(F.col("lsn") < hi_b)
+            if seg_id not in table.committed_epochs() and table.is_dropped:
+                # DML addressed to a dropped table is discarded — but the
+                # segment must still FENCE, or a replay after a later
+                # create_table revive would apply it (see record_epoch).
+                table.record_epoch(seg_id, note="table_dropped")
+                table = table.refresh()
             if seg_id not in table.committed_epochs() and not table.is_dropped:
                 d = self._decoded(seg)
                 if boundaries or seg_prefix:

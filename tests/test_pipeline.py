@@ -166,6 +166,18 @@ def test_drop_table_then_create_revives(spark, sf_dir, tmp_path):
     # [700, 900) DML hit the dropped table and was skipped)
     assert t.scan().agg(F.min("_lsn")).head()[0] >= 900
     assert t.read().count() > 0
+    state1 = t.read().orderBy("url").select("url", "text").toPandas()
+
+    # the skipped dropped-table segment must be FENCED: a full replay
+    # (fresh checkpoint, all batches re-delivered) against the now-live
+    # table must NOT apply the [700, 900) DML the original run discarded
+    import shutil as _sh
+    _sh.rmtree(str(tmp_path / "c_dr"), ignore_errors=True)
+    p2 = CDCPipeline(spark, log, str(tmp_path / "t_dr"), str(tmp_path / "c_dr"),
+                     num_buckets=4)
+    t2 = p2.run_to_completion()
+    assert t2.scan().agg(F.min("_lsn")).head()[0] >= 900
+    assert t2.read().orderBy("url").select("url", "text").toPandas().equals(state1)
 
 
 def test_multi_table_pipeline(spark, sf_dir, tmp_path):
