@@ -20,7 +20,6 @@ continuously; sinks are caller-chosen (memory/parquet/foreachBatch).
 
 from __future__ import annotations
 
-import datetime as _dt
 from collections.abc import Iterator
 
 import pandas as pd
@@ -184,6 +183,3 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800,
         )
     )
 
-
-def _utc(ts) -> _dt.datetime:
-    return ts if ts.tzinfo else ts.replace(tzinfo=_dt.timezone.utc)
