@@ -45,6 +45,7 @@ from database_delta_plugins_spark.operators.text import (
     fingerprint,
     lang_id,
     quality_score,
+    rolling_fingerprint,
     token_count,
 )
 from database_delta_plugins_spark.sources.generator import (
@@ -285,6 +286,13 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp")
 
 
+def q_text_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp-shaped rolling-hash fingerprint — order-sensitive and
+    incremental, pure arithmetic on both engines (Catalyst aggregate vs
+    DuckDB list_reduce, identical fold)."""
+    return rolling_fingerprint(_docs(spark, sf_dir)).select("doc_id", "rfp")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.05)
 
@@ -416,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_rolling_fp": q_text_rolling_fp,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -722,6 +731,13 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": quality,
         "text_lang_id": f"SELECT doc_id, {_lang_case_sql()} AS lang_pred FROM documents",
         "text_fingerprint": "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
+        "text_rolling_fp": """
+          SELECT doc_id, CAST(list_reduce(
+            [CAST(0 AS HUGEINT)] ||
+            [CAST(ascii(x) AS HUGEINT) FOR x IN string_split_regex(lower(trim(text)), '')],
+            (h, c) -> (h * 31 + c) % 2147483647
+          ) AS BIGINT) AS rfp FROM documents
+        """,
         "ngram_jaccard": jaccard,
         "ann_cosine_topk": cosine,
         # LSH/IVF signatures are deterministic ARITHMETIC (hash-derived

@@ -74,3 +74,24 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.least(F.col("mean_word_len") / F.lit(8.0), F.lit(1.0)) * 0.2
     )
     return df.withColumn("quality", score)
+
+
+_ROLL_MOD = (1 << 31) - 1  # keeps h*31 + codepoint < 2^36: int64-safe (ANSI)
+_ROLL_BASE = 31
+
+
+def rolling_fingerprint(df: DataFrame, text_col: str = "text",
+                        out: str = "rfp") -> DataFrame:
+    """Polynomial ROLLING-hash document fingerprint (Rabin-Karp shape):
+    h = fold over characters of (h * 31 + codepoint) mod (2^31 - 1),
+    seed 0. Order-sensitive (unlike md5-of-sorted anything), incremental
+    by construction, and pure arithmetic — so the DuckDB oracle mirrors
+    it exactly (list_reduce over codepoints with HUGEINT modulus).
+    Native Catalyst aggregate over the char array; no Python."""
+    chars = F.split(F.lower(F.trim(F.col(text_col))), "")
+    h = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * _ROLL_BASE + F.ascii(c)) % _ROLL_MOD,
+    )
+    return df.withColumn(out, h)

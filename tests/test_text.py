@@ -43,3 +43,15 @@ def test_fingerprint_normalizes(spark):
     df = spark.createDataFrame([(0, " ABC "), (1, "abc"), (2, "abd")], ["id", "text"])
     got = {r["id"]: r["fp"] for r in fingerprint(df).collect()}
     assert got[0] == got[1] != got[2]
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from database_delta_plugins_spark.operators.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta alpha"), (3, "alpha beta")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["rfp"] for r in rolling_fingerprint(df).collect()}
+    assert got[1] == got[3]          # identical text -> identical hash
+    assert got[1] != got[2]          # word order matters (md5-of-set wouldn't)
+    assert all(0 <= v < (1 << 31) - 1 for v in got.values())
