@@ -495,21 +495,13 @@ class LakeTable:
             # LSM-style append: no target read/join — the batch's winners
             # become a new segment per bucket; reads resolve LWW across
             # the stack. Write cost O(batch) regardless of table size.
-            # The affected-bucket list falls out of the stats agg below —
-            # no separate distinct().collect() pass (one less job/epoch;
-            # per-epoch fixed cost is what bounds streaming throughput).
-            t_lww = 0.0
-            result = upd.select(
-                F.col(key),
-                *[F.col(c) for c in payload_names if c != key],
-                F.col("_u_lsn").alias("_lsn"),
-                F.col("_u_seq").alias("_seq"),
-                F.col("_u_deleted").alias("_is_deleted"),
-                F.col("_u_ingest_ms").alias("_ingest_ms"),
-                F.lit(True).alias("_took_update"),
-                F.lit(False).alias("_matched"),
-                F.col("_bucket"),
-            )
+            # ONE action per epoch: global stats ride the write via
+            # observe(); per-bucket segment stats come from the written
+            # parquet FOOTERS (num_rows + _lsn column min/max) — no
+            # second pass, no persist, no separate stats job. Per-epoch
+            # fixed job cost is what bounds streaming throughput.
+            return self._merge_mor_commit(upd, key, payload_names, eid,
+                                          extra_lineage)
         else:
             # persist: the shaped post-LWW updates feed both the
             # affected-bucket listing and the merge join — without this
@@ -560,8 +552,6 @@ class LakeTable:
                 F.sum((F.col("_matched") & F.col("_took_update")).cast("long")).alias("updated"),
             ).collect()
             t_join = time.time() - t0
-            if self.write_mode == "mor":
-                affected = sorted(int(r["_bucket"]) for r in stats_rows)
 
             new_version = self.version + 1
             # unique data dir per attempt: the exclusive v{N}.json create in
@@ -583,10 +573,130 @@ class LakeTable:
             if upd_persisted is not None:
                 upd_persisted.unpersist()
 
-        # manifest update: cow replaces the bucket's segment stack with the
-        # merged segment; mor appends the batch segment to the stack.
+        per_bucket = {
+            int(r["_bucket"]): {
+                "rows": int(r["rows"]),
+                "min_lsn": int(r["min_lsn"]) if r["min_lsn"] is not None else None,
+                "max_lsn": int(r["max_lsn"]) if r["max_lsn"] is not None else None,
+            }
+            for r in stats_rows
+        }
+        totals = {
+            "rows_applied": sum(int(r["applied"]) for r in stats_rows),
+            "rows_updated": sum(int(r["updated"]) for r in stats_rows),
+            "conflicts_lost": sum(int(r["conflicts_lost"]) for r in stats_rows),
+            "tombstones": sum(int(r["tombstones"]) for r in stats_rows),
+            "min_lsn": min((int(r["min_lsn"]) for r in stats_rows if r["min_lsn"] is not None), default=None),
+            "max_lsn": max((int(r["max_lsn"]) for r in stats_rows if r["max_lsn"] is not None), default=None),
+        }
+        return self._finalize_commit(
+            eid=eid, new_version=new_version, affected=affected,
+            commit_rel=commit_rel, commit_dir=commit_dir,
+            per_bucket=per_bucket, totals=totals,
+            phase_sec={"lww": round(t_lww, 2), "join_stats": round(t_join, 2),
+                       "write": round(t_write, 2)},
+            extra_lineage=extra_lineage, append_segments=False)
+
+    def _merge_mor_commit(self, upd: DataFrame, key: str,
+                          payload_names: list[str], eid: str | None,
+                          extra_lineage: dict | None) -> dict:
+        """Merge-on-read commit in ONE Spark action: batch totals ride
+        the write via observe(); per-bucket segment stats (rows, _lsn
+        min/max) come from the written parquet footers."""
+        from pyspark.sql import Observation
+
+        result = upd.select(
+            F.col(key),
+            *[F.col(c) for c in payload_names if c != key],
+            F.col("_u_lsn").alias("_lsn"),
+            F.col("_u_seq").alias("_seq"),
+            F.col("_u_deleted").alias("_is_deleted"),
+            F.col("_u_ingest_ms").alias("_ingest_ms"),
+            F.col("_bucket"),
+        )
+        obs = Observation()
+        result = result.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.min("_lsn").alias("min_lsn"),
+            F.max("_lsn").alias("max_lsn"),
+            F.sum(F.col("_is_deleted").cast("long")).alias("tombstones"),
+        )
+        new_version = self.version + 1
+        commit_rel = f"data/commit-{new_version}-{uuid.uuid4().hex[:8]}"
+        commit_dir = f"{self.path}/{commit_rel}"
+        t0 = time.time()
+        (
+            result.repartition(self.num_buckets, "_bucket")
+            .write.partitionBy("_bucket")
+            .mode("errorifexists")
+            .parquet(commit_dir)
+        )
+        t_write = time.time() - t0
+        g = obs.get
+        per_bucket, affected = self._bucket_stats_from_footers(commit_dir)
+        totals = {
+            "rows_applied": int(g["rows"]),
+            # mor appends winners without observing the target: matched/
+            # conflict accounting materializes at compaction (see merge
+            # docstring)
+            "rows_updated": 0,
+            "conflicts_lost": 0,
+            "tombstones": int(g["tombstones"] or 0),
+            "min_lsn": int(g["min_lsn"]) if g["min_lsn"] is not None else None,
+            "max_lsn": int(g["max_lsn"]) if g["max_lsn"] is not None else None,
+        }
+        return self._finalize_commit(
+            eid=eid, new_version=new_version, affected=affected,
+            commit_rel=commit_rel, commit_dir=commit_dir,
+            per_bucket=per_bucket, totals=totals,
+            phase_sec={"lww": 0.0, "join_stats": 0.0, "write": round(t_write, 2)},
+            extra_lineage=extra_lineage, append_segments=True)
+
+    def _bucket_stats_from_footers(self, commit_dir: str
+                                   ) -> tuple[dict[int, dict], list[int]]:
+        """Per-bucket (rows, _lsn min/max) from the written files' parquet
+        footers — driver-side metadata reads, no second data pass. The
+        Iceberg analogue: manifests carry per-file column stats emitted
+        at write time."""
+        import pyarrow.parquet as pq
+
+        per_bucket: dict[int, dict] = {}
+        for entry in sorted(os.listdir(commit_dir)):
+            if not entry.startswith("_bucket="):
+                continue
+            b = int(entry.split("=", 1)[1])
+            rows, mn, mx = 0, None, None
+            bdir = os.path.join(commit_dir, entry)
+            for fn in os.listdir(bdir):
+                if not fn.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(bdir, fn)).metadata
+                rows += md.num_rows
+                for rg in range(md.num_row_groups):
+                    row_group = md.row_group(rg)
+                    for ci in range(row_group.num_columns):
+                        col = row_group.column(ci)
+                        if col.path_in_schema != "_lsn":
+                            continue
+                        st = col.statistics
+                        if st is not None and st.has_min_max:
+                            mn = st.min if mn is None else min(mn, st.min)
+                            mx = st.max if mx is None else max(mx, st.max)
+            if rows:
+                per_bucket[b] = {"rows": rows,
+                                 "min_lsn": int(mn) if mn is not None else None,
+                                 "max_lsn": int(mx) if mx is not None else None}
+        return per_bucket, sorted(per_bucket)
+
+    def _finalize_commit(self, *, eid: str | None, new_version: int,
+                         affected: list[int], commit_rel: str, commit_dir: str,
+                         per_bucket: dict[int, dict], totals: dict,
+                         phase_sec: dict, extra_lineage: dict | None,
+                         append_segments: bool) -> dict:
+        # manifest update: cow replaces the bucket's segment stack with
+        # the merged segment; mor appends the batch segment to the stack.
         snap = json.loads(json.dumps(self.snap))
-        per_bucket = {int(r["_bucket"]): r for r in stats_rows}
         for b in affected:
             bdir = f"{commit_dir}/_bucket={b}"
             files = sorted(
@@ -598,29 +708,22 @@ class LakeTable:
             segment = {
                 "files": files,
                 "schema_id": snap["current_schema_id"],
-                "rows": int(st["rows"]) if st else 0,
-                "min_lsn": int(st["min_lsn"]) if st and st["min_lsn"] is not None else None,
-                "max_lsn": int(st["max_lsn"]) if st and st["max_lsn"] is not None else None,
+                "rows": st["rows"] if st else 0,
+                "min_lsn": st["min_lsn"] if st else None,
+                "max_lsn": st["max_lsn"] if st else None,
             }
-            if self.write_mode == "mor" and str(b) in snap["buckets"]:
+            if append_segments and str(b) in snap["buckets"]:
                 snap["buckets"][str(b)]["segments"].append(segment)
             else:
                 snap["buckets"][str(b)] = {"segments": [segment]}
 
-        applied = sum(int(r["applied"]) for r in stats_rows)
         lineage = {
             "epoch_id": eid,
             "committed_version": new_version,
             "buckets_rewritten": sorted(int(b) for b in affected),
-            "rows_applied": applied,
-            "rows_updated": sum(int(r["updated"]) for r in stats_rows),
-            "conflicts_lost": sum(int(r["conflicts_lost"]) for r in stats_rows),
-            "tombstones": sum(int(r["tombstones"]) for r in stats_rows),
-            "min_lsn": min((int(r["min_lsn"]) for r in stats_rows if r["min_lsn"] is not None), default=None),
-            "max_lsn": max((int(r["max_lsn"]) for r in stats_rows if r["max_lsn"] is not None), default=None),
             "ts_ms": int(time.time() * 1000),
-            "phase_sec": {"lww": round(t_lww, 2), "join_stats": round(t_join, 2),
-                          "write": round(t_write, 2)},
+            "phase_sec": phase_sec,
+            **totals,
         }
         if extra_lineage:
             lineage.update(extra_lineage)
@@ -637,7 +740,7 @@ class LakeTable:
             snap["epochs"][eid] = {
                 "epoch_id": eid,
                 "committed_version": new_version,
-                "rows_applied": applied,
+                "rows_applied": totals["rows_applied"],
                 "max_lsn": lineage["max_lsn"],
                 "skipped_replay": False,
             }
