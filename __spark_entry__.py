@@ -91,10 +91,12 @@ def q_cdc_apply_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1/A3 through the REAL engine: two-epoch key-bucketed
-    copy-on-write MERGE into a LakeTable, then read back final state.
-    Incremental apply must equal the one-shot LWW oracle."""
+def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str,
+                       write_mode: str = "cow",
+                       lww_strategy: str = "late") -> DataFrame:
+    """A1/A3 through the REAL engine: two-epoch key-bucketed MERGE into a
+    LakeTable, then read back final state. Incremental apply must equal
+    the one-shot LWW oracle (both write modes / LWW strategies share it)."""
     from pyspark.sql import types as T
 
     from database_delta_plugins_spark.lake.table import LakeTable
@@ -112,17 +114,60 @@ def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     tmp = tempfile.mkdtemp(prefix="lake_q_")
     shutil.rmtree(tmp)
-    t = LakeTable.create(spark, tmp, schema, key="url", num_buckets=8)
+    t = LakeTable.create(spark, tmp, schema, key="url", num_buckets=8,
+                         write_mode=write_mode)
     mid = upd.agg(F.expr("percentile_approx(lsn, 0.5)")).collect()[0][0]
-    t.merge(upd.filter(F.col("lsn") <= mid), epoch_id=1)
+    t.merge(upd.filter(F.col("lsn") <= mid), epoch_id=1, lww_strategy=lww_strategy)
     t = t.refresh()
-    t.merge(upd.filter(F.col("lsn") > mid), epoch_id=2)
+    t.merge(upd.filter(F.col("lsn") > mid), epoch_id=2, lww_strategy=lww_strategy)
     t = t.refresh()
     return (
         t.scan()
         .filter(~F.col("_is_deleted"))
         .select("url", "warc_ts", "text", "lang", F.col("_lsn").alias("last_lsn"))
     )
+
+
+def q_cdc_merge_mor_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming apply path's exact configuration — merge-on-read
+    segments + single-exchange bucket-sort LWW — against the same
+    sequential-apply oracle as the cow/late variant."""
+    return q_cdc_merge_upsert(spark, sf_dir, write_mode="mor",
+                              lww_strategy="sort")
+
+
+def q_cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read (LakeTable.changes): apply the log as two
+    epochs split at the deterministic lsn midpoint, then read the feed
+    since the first epoch's snapshot — exactly the second epoch's
+    per-url winners, deletes typed as tombstones."""
+    from pyspark.sql import types as T
+
+    from database_delta_plugins_spark.lake.table import LakeTable
+
+    ev = cdc_events_df(spark, sf_dir)
+    upd = decode.map_opcode(ev).select(
+        "url", F.col("after_text").alias("text"), "lang",
+        "op_type", "lsn", "seq",
+    )
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ])
+    tmp = tempfile.mkdtemp(prefix="lake_cdf_")
+    shutil.rmtree(tmp)
+    t = LakeTable.create(spark, tmp, schema, key="url", num_buckets=8,
+                         write_mode="mor")
+    mid = upd.agg(
+        F.floor((F.min("lsn") + F.max("lsn")) / 2).cast("long")).collect()[0][0]
+    t.merge(upd.filter(F.col("lsn") <= mid), epoch_id=1, lww_strategy="sort")
+    t = t.refresh()
+    v1 = t.version
+    t.merge(upd.filter(F.col("lsn") > mid), epoch_id=2, lww_strategy="sort")
+    t = t.refresh()
+    return t.changes(v1).select(
+        "url", "text", "lang", F.col("_lsn").alias("lsn"), "_change_type")
 
 
 def q_d2_opcode_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -408,6 +453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_apply_lww": q_cdc_apply_lww,
         "cdc_merge_upsert": q_cdc_merge_upsert,
+        "cdc_merge_mor_sort": q_cdc_merge_mor_sort,
+        "cdc_changes_feed": q_cdc_changes_feed,
         "d2_opcode_map": q_d2_opcode_map,
         "d3_row_image": q_d3_row_image,
         "d7_dml_blacklist": q_d7_dml_blacklist,
@@ -632,6 +679,22 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_apply_lww": lww,
         "cdc_merge_upsert": lww,
+        "cdc_merge_mor_sort": lww,
+        "cdc_changes_feed": f"""
+          WITH cdc_events AS ({_CDC}),
+          b AS (SELECT CAST(floor((min(lsn) + max(lsn)) / 2) AS BIGINT) AS mid
+                FROM cdc_events),
+          e2 AS (SELECT * FROM cdc_events, b WHERE lsn > mid),
+          w AS (SELECT *, row_number() OVER (PARTITION BY url
+                                             ORDER BY lsn DESC, seq DESC) rn
+                FROM e2)
+          SELECT url,
+                 CASE WHEN op = 'd' THEN NULL ELSE after_text END AS text,
+                 CASE WHEN op = 'd' THEN NULL ELSE lang END AS lang,
+                 lsn,
+                 CASE WHEN op = 'd' THEN 'delete' ELSE 'upsert' END AS _change_type
+          FROM w WHERE rn = 1
+        """,
         "d2_opcode_map": f"""
           WITH cdc_events AS ({_CDC})
           SELECT CASE WHEN op IN ('c','r') THEN 'I' WHEN op = 'u' THEN 'U' ELSE 'D' END AS op_type,

@@ -29,3 +29,22 @@ def merge_pipeline_config(defaults: dict, runtime_args: dict[str, str],
         else:
             out[k] = v
     return out
+
+
+class job_desc:
+    """Context manager labeling the Spark jobs an action block launches
+    (shows up in event logs / UIs / the stage profiler — the C3
+    observability story at the job level). No-op overhead: one py4j call
+    each way."""
+
+    def __init__(self, spark, desc: str):
+        self.sc = spark.sparkContext
+        self.desc = desc
+
+    def __enter__(self):
+        self.sc.setJobDescription(self.desc)
+        return self
+
+    def __exit__(self, *exc):
+        self.sc.setJobDescription(None)
+        return False

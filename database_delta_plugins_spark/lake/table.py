@@ -404,7 +404,7 @@ class LakeTable:
     # ---------------------------------------------------------------- merge
     def merge(self, updates: DataFrame, epoch_id: str | int | None = None,
               extra_lineage: dict | None = None,
-              transform=None) -> dict:
+              transform=None, lww_strategy: str = "late") -> dict:
         """Key-partitioned copy-on-write MERGE (SURVEY.md §2.4 A1-A3).
 
         ``updates`` columns: <payload per current schema> + op_type(I|U|D)
@@ -434,6 +434,23 @@ class LakeTable:
         only on (key, lsn, seq)), so running them post-reduce is
         semantically identical and costs O(winners), not O(batch). At
         bench skew (~240 revisions/key) that is a ~200x compute cut.
+
+        ``lww_strategy`` (mor only; cow always uses "late"):
+
+        * ``"late"`` — salted tiny reduce over (key, lsn, seq), winners
+          broadcast back (operators/lww.py::lww_reduce_late). Payload
+          bytes shuffled: WINNERS only. Right when the dedup ratio is
+          high (winner set ≪ batch) or shuffle fabric is the bottleneck;
+          costs one extra narrow scan + a serial driver broadcast build.
+        * ``"sort"`` — winner selection, replay dedup AND the bucket
+          write share ONE exchange: hash-repartition the full batch on
+          _bucket, window-sort (key, lsn DESC, seq DESC) within buckets
+          (the dynamic-partition writer wants that sort anyway), keep
+          each key's first row. Zero extra scans, zero driver-serial
+          sections — fully parallel end to end. Payload bytes shuffled:
+          the whole batch, i.e. dedup_ratio × winner bytes. Right at
+          Common-Crawl-ish single-digit dedup ratios where that factor
+          is small and per-epoch driver latency dominates N->4N scaling.
         """
         from database_delta_plugins_spark.operators.lww import lww_reduce_late
 
@@ -464,15 +481,43 @@ class LakeTable:
         upd = upd.select(key, *[c for c in payload_names if c != key],
                          "op_type", "lsn", "seq", "ts_ms")
 
-        # A2: in-batch LWW winner per key — late materialization (salted
-        # two-stage reduce over (key, lsn, seq) only; payload joins back,
-        # broadcast when small). Skew-proof AND payload-shuffle-free.
-        upd = lww_reduce_late(upd, key=key)
+        pre_partitioned = False
+        if self.write_mode == "mor" and lww_strategy == "sort":
+            # A2 "sort" strategy: the bucket exchange the write needs
+            # anyway also performs winner selection + replay dedup — a
+            # window over the bucket partitioning (exchange REUSED, only
+            # a sort added, which the partitioned write wants too): rows
+            # sorted (key, lsn DESC, seq DESC) within buckets, each
+            # key's FIRST row is the LWW winner; ties (replayed events)
+            # collapse to one. One job, no scan re-read, no broadcast.
+            from pyspark.sql.window import Window
+
+            upd = upd.withColumn("_bucket", self.bucket_expr(F.col(key)))
+            upd = upd.repartition(self.num_buckets, "_bucket")
+            w = Window.partitionBy("_bucket").orderBy(
+                F.col(key), F.desc("lsn"), F.desc("seq"))
+            prev = F.lag(F.col(key)).over(w)
+            upd = (
+                upd.withColumn("_keep", prev.isNull() | (prev != F.col(key)))
+                .filter(F.col("_keep")).drop("_keep")
+            )
+            pre_partitioned = True
+        else:
+            # A2 "late" strategy: salted tiny reduce over (key, lsn, seq)
+            # only; payload joins back, broadcast when small. Skew-proof
+            # AND payload-shuffle-free. mor defers replay-duplicate
+            # removal to the bucket-partitioned write's max-per-key reduce
+            # (partition-local, exchange-reusing) — which also licenses
+            # the smaller hashed-key broadcast; cow dedups here, ahead of
+            # the target join, with the exact string-key broadcast.
+            mor = self.write_mode == "mor"
+            upd = lww_reduce_late(upd, key=key, dedup=not mor, hash_key=mor)
         if transform is not None:
             upd = transform(upd)
             # re-assert the merge contract after user code
             upd = upd.select(key, *[c for c in payload_names if c != key],
-                             "op_type", "lsn", "seq", "ts_ms")
+                             "op_type", "lsn", "seq", "ts_ms",
+                             *(["_bucket"] if pre_partitioned else []))
 
         # shape the post-apply row for each winner
         upd = upd.select(
@@ -487,8 +532,10 @@ class LakeTable:
             F.col("seq").alias("_u_seq"),
             (F.col("op_type") == "D").alias("_u_deleted"),
             F.col("ts_ms").alias("_u_ingest_ms"),
+            *(["_bucket"] if pre_partitioned else []),
         )
-        upd = upd.withColumn("_bucket", self.bucket_expr(F.col(key)))
+        if not pre_partitioned:
+            upd = upd.withColumn("_bucket", self.bucket_expr(F.col(key)))
 
         upd_persisted = None
         if self.write_mode == "mor":
@@ -501,7 +548,8 @@ class LakeTable:
             # second pass, no persist, no separate stats job. Per-epoch
             # fixed job cost is what bounds streaming throughput.
             return self._merge_mor_commit(upd, key, payload_names, eid,
-                                          extra_lineage)
+                                          extra_lineage,
+                                          pre_partitioned=pre_partitioned)
         else:
             # persist: the shaped post-LWW updates feed both the
             # affected-bucket listing and the merge join — without this
@@ -599,7 +647,8 @@ class LakeTable:
 
     def _merge_mor_commit(self, upd: DataFrame, key: str,
                           payload_names: list[str], eid: str | None,
-                          extra_lineage: dict | None) -> dict:
+                          extra_lineage: dict | None,
+                          pre_partitioned: bool = False) -> dict:
         """Merge-on-read commit in ONE Spark action: batch totals ride
         the write via observe(); per-bucket segment stats (rows, _lsn
         min/max) come from the written parquet footers."""
@@ -614,6 +663,15 @@ class LakeTable:
             F.col("_u_ingest_ms").alias("_ingest_ms"),
             F.col("_bucket"),
         )
+        if not pre_partitioned:
+            # ONE payload shuffle: hash-repartition on the bucket, then a
+            # partition-local dedup that REUSES that exchange (window over
+            # _bucket adds only a sort, which the partitioned write needs
+            # anyway) — replay duplicates of the winner event (same key,
+            # lsn, seq) are dropped without a second payload shuffle.
+            # (The "sort" strategy arrives already partitioned + deduped.)
+            result = result.repartition(self.num_buckets, "_bucket")
+            result = self._bucket_local_dedup(result, key)
         obs = Observation()
         result = result.observe(
             obs,
@@ -626,12 +684,13 @@ class LakeTable:
         commit_rel = f"data/commit-{new_version}-{uuid.uuid4().hex[:8]}"
         commit_dir = f"{self.path}/{commit_rel}"
         t0 = time.time()
-        (
-            result.repartition(self.num_buckets, "_bucket")
-            .write.partitionBy("_bucket")
-            .mode("errorifexists")
-            .parquet(commit_dir)
-        )
+        from database_delta_plugins_spark.common import job_desc
+        with job_desc(self.spark, f"mor-merge-write epoch={eid}"):
+            (
+                result.write.partitionBy("_bucket")
+                .mode("errorifexists")
+                .parquet(commit_dir)
+            )
         t_write = time.time() - t0
         g = obs.get
         per_bucket, affected = self._bucket_stats_from_footers(commit_dir)
@@ -652,6 +711,29 @@ class LakeTable:
             per_bucket=per_bucket, totals=totals,
             phase_sec={"lww": 0.0, "join_stats": 0.0, "write": round(t_write, 2)},
             extra_lineage=extra_lineage, append_segments=True)
+
+    @staticmethod
+    def _bucket_local_dedup(df: DataFrame, key: str) -> DataFrame:
+        """Reduce to ONE row per key — the max-(_lsn, _seq) one — WITHOUT
+        a dedicated shuffle: the window partitions by ``_bucket``, whose
+        hash partitioning the caller just established, so Catalyst reuses
+        the exchange and inserts only a within-partition sort (ordered
+        (_bucket, key, _lsn DESC, _seq DESC) — which the dynamic-partition
+        parquet write wants anyway, and which clusters keys for row-group
+        stats). This collapses both exact replay duplicates AND any
+        stale row a hash_key broadcast collision could admit (see
+        lww_reduce_late): each key's FIRST row in the sort order is its
+        LWW winner, everything after is dropped."""
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("_bucket").orderBy(
+            F.col(key), F.desc("_lsn"), F.desc("_seq"))
+        prev = F.lag(F.col(key)).over(w)
+        return (
+            df.withColumn("_is_dup", prev.isNotNull() & (prev == F.col(key)))
+            .filter(~F.col("_is_dup"))
+            .drop("_is_dup")
+        )
 
     def _bucket_stats_from_footers(self, commit_dir: str
                                    ) -> tuple[dict[int, dict], list[int]]:
@@ -788,6 +870,87 @@ class LakeTable:
         self._write_snapshot(snap)
         self._append_lineage(dict(rec))
         return rec
+
+    # ------------------------------------------------------- change feed
+    def changes(self, since_version: int, to_version: int | None = None) -> DataFrame:
+        """Change-data-feed read (Iceberg/Delta CDF analogue): the rows
+        APPLIED between two snapshots — payload + (_lsn, _seq) ordering +
+        ``_change_type`` ('delete' for tombstones, else 'upsert') — so a
+        downstream consumer can incrementally follow the table without
+        re-reading it.
+
+        Implementation is manifest-only: diff the two snapshots' file
+        sets (O(metadata), no data pass) and read just the NEW files.
+        Compaction rewrites old rows into new files; those artifacts are
+        filtered by the lsn frontier of ``since_version`` — any row at or
+        below it was already visible. Works for both write modes (mor
+        appends segments; cow rewrites whole buckets)."""
+        if to_version is None:
+            to_version = self.version
+        if since_version > to_version:
+            raise ValueError(f"since {since_version} > to {to_version}")
+
+        def _snap_at(v: int) -> dict:
+            if v == self.snap["version"]:
+                return self.snap
+            with open(f"{self.path}/_meta/v{v}.json") as f:
+                return json.load(f)
+
+        def _files(s: dict) -> set[str]:
+            return {
+                f for info in s["buckets"].values()
+                for seg in info["segments"] for f in seg["files"]
+            }
+
+        def _frontier(s: dict) -> int | None:
+            eps = s.get("epochs", {}).values()
+            return max((e["max_lsn"] for e in eps
+                        if e.get("max_lsn") is not None), default=None)
+
+        s_from, s_to = _snap_at(since_version), _snap_at(to_version)
+        old_files = _files(s_from)
+        fields = s_to["schemas"][str(s_to["current_schema_id"])]
+        names = [f["name"] for f in fields]
+        out_schema = T.StructType(
+            [T.StructField(f["name"], _type_from_str(f["type"]), True)
+             for f in fields]
+            + [T.StructField("_lsn", T.LongType(), True),
+               T.StructField("_seq", T.LongType(), True),
+               T.StructField("_change_type", T.StringType(), False)])
+        # group NEW files by their write-time schema id (segments carry
+        # it), projecting to the target schema by field id — renames and
+        # widenings across the change window resolve like scan() does.
+        groups: dict[int, list[str]] = {}
+        for info in s_to["buckets"].values():
+            for seg in info["segments"]:
+                for p in seg["files"]:
+                    if p not in old_files:
+                        groups.setdefault(seg["schema_id"], []).append(p)
+        if not groups:
+            return self.spark.createDataFrame([], out_schema)
+        cur = {f["id"]: f for f in fields}
+        parts = []
+        for sid, paths in groups.items():
+            old = {f["id"]: f for f in s_to["schemas"][str(sid)]}
+            df = self.spark.read.parquet(*[f"{self.path}/{p}" for p in sorted(paths)])
+            cols = []
+            for fid in sorted(cur):
+                nf = cur[fid]
+                if fid in old:
+                    cols.append(F.col(old[fid]["name"]).cast(nf["type"]).alias(nf["name"]))
+                else:
+                    cols.append(F.lit(None).cast(nf["type"]).alias(nf["name"]))
+            parts.append(df.select(*cols, "_lsn", "_seq", "_is_deleted"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        lo = _frontier(s_from)
+        if lo is not None:
+            out = out.filter(F.col("_lsn") > lo)
+        return out.select(
+            *names, "_lsn", "_seq",
+            F.when(F.col("_is_deleted"), F.lit("delete"))
+            .otherwise(F.lit("upsert")).alias("_change_type"))
 
     # -------------------------------------------------------- maintenance
     def compact(self, max_segments_per_bucket: int = 1) -> dict:

@@ -51,7 +51,9 @@ def lww_reduce(df: DataFrame, key: str = "url",
 
 def lww_reduce_late(df: DataFrame, key: str = "url",
                     salt_buckets: int = 64,
-                    broadcast_winners: bool = True) -> DataFrame:
+                    broadcast_winners: bool = True,
+                    dedup: bool = True,
+                    hash_key: bool = False) -> DataFrame:
     """Late-materialization LWW: the winner per key is decided over ONLY
     (key, lsn, seq) — column pruning reaches the scan, so the wide
     payload (html!) never enters the reduce shuffle — then winners join
@@ -69,31 +71,44 @@ def lww_reduce_late(df: DataFrame, key: str = "url",
     of W×4KB (W = distinct keys), or none when W broadcasts.
     """
     ord_s = _ord()
-    tiny = df.select(key, *ORDER_COLS).withColumn(
+    # hash_key: the broadcast side carries xxhash64(key) (8 B) instead of
+    # the key itself (urls: ~60 B) — ~3x smaller driver-side relation
+    # build, the serial section of every epoch. A 64-bit collision can
+    # admit a LOSER row of the colliding key (~n²/2^64 per batch); the
+    # caller MUST therefore reduce max-per-key downstream — LakeTable's
+    # bucket-local dedup does exactly that, which makes the merge path
+    # sound unconditionally. Standalone reduces keep hash_key=False.
+    kcol = F.xxhash64(F.col(key)).alias("_w_key") if hash_key \
+        else F.col(key).alias("_w_key")
+    tiny = df.select(kcol, *[F.col(c) for c in ORDER_COLS]).withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in ORDER_COLS]), F.lit(salt_buckets))
     )
-    s1 = tiny.groupBy(key, "_salt").agg(F.max(ord_s).alias("_w"))
-    winners = s1.groupBy(key).agg(F.max("_w").alias("_w"))
+    s1 = tiny.groupBy("_w_key", "_salt").agg(F.max(ord_s).alias("_w"))
+    winners = s1.groupBy("_w_key").agg(F.max("_w").alias("_w"))
     # explicit broadcast: the winners' size can't be estimated through a
     # pandas-UDF projection, so without the hint Catalyst picks
     # sort-merge and SORTS the wide payload side — the exact thing this
     # function exists to avoid. One winner row per key (~tens of bytes);
     # disable only when distinct keys per batch exceed broadcast limits,
     # which at that point should use lww_reduce_salted partitioned.
-    winners = winners.withColumnRenamed(key, "_w_key")
     if broadcast_winners:
         winners = F.broadcast(winners)
+    probe = F.xxhash64(F.col(key)) if hash_key else F.col(key)
     j = df.join(
         winners,
-        (F.col(key) == F.col("_w_key")) & (ord_s == F.col("_w")),
+        (probe == F.col("_w_key")) & (ord_s == F.col("_w")),
         "inner",
     )
     # exact duplicates of the winner event — same (key, lsn, seq), e.g. a
     # source replaying the boundary record — would BOTH survive the join
     # and break the one-row-per-key contract downstream (mor segments
-    # assume keys unique per segment). Dedup the winner rows: this is one
-    # row per key, so the dropDuplicates shuffle is tiny.
-    return j.select(*df.columns).dropDuplicates([key, *ORDER_COLS])
+    # assume keys unique per segment). Dedup the winner rows by default.
+    # NOTE: this shuffles the winner PAYLOAD once; callers that already
+    # hash-partition the output (LakeTable's bucket repartition) pass
+    # dedup=False and run an exchange-reusing partition-local dedup
+    # instead — see LakeTable._bucket_local_dedup.
+    out = j.select(*df.columns)
+    return out.dropDuplicates([key, *ORDER_COLS]) if dedup else out
 
 
 def lww_reduce_salted(df: DataFrame, key: str = "url",

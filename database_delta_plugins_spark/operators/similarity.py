@@ -185,10 +185,26 @@ def ivf_topk_kmeans(df: DataFrame, query_vec: list[float], k: int = 10,
 
 def cosine_neardup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
                          bits: int = 8, id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         max_bucket: int | None = None) -> DataFrame:
     """Embedding near-dup pairs: exact cosine verified within LSH buckets
-    only — O(sum of bucket² ) candidates, never a full cross join."""
+    only — O(sum of bucket²) candidates, never a full cross join.
+
+    ``max_bucket`` is the production skew guard (same contract as the
+    text-dedup operators' caps, operators/dedup.py::_cap_postings): a
+    bucket holding more than ``max_bucket`` vectors — a near-constant
+    embedding cluster, or bits sized too small for n — contributes at
+    most max_bucket² candidate pairs instead of going quadratic in the
+    cluster size. Affects candidate RECALL only (emitted pairs are exact
+    cosine); size bits ~ log2(n / target_bucket) and use the cap as the
+    backstop. None = uncapped (small/oracle-checked corpora, where the
+    SQL mirror must see the identical candidate set)."""
     s = lsh_signature(df.select(id_col, vec_col), dim, bits=bits, vec_col=vec_col)
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        rk = F.row_number().over(Window.partitionBy("sig").orderBy(id_col))
+        s = s.withColumn("_rk", rk).filter(F.col("_rk") <= max_bucket).drop("_rk")
     a = s.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "sig")
     b = s.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "sig")
     return (

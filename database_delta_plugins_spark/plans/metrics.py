@@ -19,6 +19,15 @@ class ThroughputListener(StreamingQueryListener):
     def __init__(self):
         self.progress: list[dict] = []
         self.terminated: list[dict] = []
+        self.sink_rows: list[dict] = []
+
+    def record_sink_rows(self, epoch_id, rows: int) -> None:
+        """Sink-side rows-applied per epoch, reported by the pipeline.
+        Source-side numInputRows reads 0 by design: the apply path
+        re-reads the micro-batch as a real file scan (pruning+pushdown;
+        see CDCPipeline._batch_files), so the handed-over batch plan —
+        which source metrics are derived from — never executes."""
+        self.sink_rows.append({"epoch_id": str(epoch_id), "rows": int(rows)})
 
     def onQueryStarted(self, event):
         pass
@@ -45,7 +54,8 @@ class ThroughputListener(StreamingQueryListener):
 
     # ----- summaries -----
     def total_rows(self) -> int:
-        return sum(p["num_input_rows"] for p in self.progress)
+        return (sum(p["num_input_rows"] for p in self.progress)
+                + sum(r["rows"] for r in self.sink_rows))
 
     def failed(self) -> bool:
         return any(t["exception"] for t in self.terminated)

@@ -188,3 +188,43 @@ def test_time_travel_across_schema_evolution(spark, tmp_path):
     assert old.columns == ["url", "text", "lang"]
     assert old.head()["text"] == "v1"
     assert t.read().columns == ["url", "body", "score"]
+
+
+def test_change_feed_between_versions(spark, tmp_path):
+    """CDF read: changes(since) returns exactly the rows applied after
+    `since` — upserts and deletes typed, compaction artifacts excluded by
+    the lsn frontier, schema evolution projected by field id."""
+    t = _mk(spark, tmp_path, "t_cdf", write_mode="mor")
+    t.merge(_upd(spark, [("a", "v1", "en", "I", 1, 0),
+                         ("b", "w1", "de", "I", 2, 0)]), epoch_id=1)
+    t = t.refresh()
+    v1 = t.version
+    t.merge(_upd(spark, [("a", "v2", "en", "U", 3, 0),
+                         ("b", None, None, "D", 4, 0),
+                         ("c", "x1", "fr", "I", 5, 0)]), epoch_id=2)
+    t = t.refresh()
+    ch = {r["url"]: r for r in t.changes(v1).collect()}
+    assert set(ch) == {"a", "b", "c"}
+    assert ch["a"]["_change_type"] == "upsert" and ch["a"]["text"] == "v2"
+    assert ch["b"]["_change_type"] == "delete"
+    assert ch["c"]["_lsn"] == 5
+    # compaction rewrites old rows into new files; the frontier filter
+    # keeps them out of the NEXT window's feed
+    v2 = t.version
+    t.compact(max_segments_per_bucket=1)
+    t = t.refresh()
+    t.merge(_upd(spark, [("d", "y1", "en", "I", 6, 0)]), epoch_id=3)
+    t = t.refresh()
+    ch2 = [r["url"] for r in t.changes(v2).collect()]
+    assert ch2 == ["d"]
+    # schema evolution inside the window: rename resolves by field id
+    t.apply_ddl({"action": "rename_column", "name": "text", "new_name": "body"}, lsn=100)
+    t = t.refresh()
+    v3 = t.version
+    up = _upd(spark, [("e", "z1", "en", "I", 7, 0)]).withColumnRenamed("text", "body")
+    t.merge(up, epoch_id=4)
+    t = t.refresh()
+    ch3 = t.changes(v3).collect()
+    assert [r["url"] for r in ch3] == ["e"] and ch3[0]["body"] == "z1"
+    # empty window
+    assert t.changes(t.version).count() == 0

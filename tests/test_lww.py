@@ -112,3 +112,35 @@ def test_lww_equals_sequential_apply_randomized(spark):
             visible = {r["url"]: r["text"] for r in out.collect()
                        if r["op_type"] != "D"}
             assert visible == state, f"seed={seed} fn={reduce_fn.__name__}"
+
+
+def test_merge_sort_strategy_equals_late(spark, tmp_path):
+    """The two LWW merge strategies (late-materialized broadcast join vs
+    bucket-sort window) must produce identical final table state —
+    including replay duplicates collapsing and delete tombstones."""
+    from pyspark.sql import types as T
+
+    from database_delta_plugins_spark.lake.table import LakeTable
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+    ])
+    rows = [("a", "v1", "I", 1, 0), ("a", "v2", "U", 3, 1),
+            ("a", "v2", "U", 3, 1),                      # exact replay dup
+            ("b", "w1", "I", 2, 0), ("b", None, "D", 5, 0),
+            ("c", "x1", "I", 4, 0)]
+    upd = spark.createDataFrame(
+        rows, "url: string, text: string, op_type: string, lsn: long, seq: long")
+    out = {}
+    for strat in ("late", "sort"):
+        t = LakeTable.create(spark, str(tmp_path / f"t_{strat}"), schema,
+                             key="url", num_buckets=4, write_mode="mor")
+        t.merge(upd, epoch_id=1, lww_strategy=strat)
+        t = t.refresh()
+        out[strat] = sorted(
+            (r["url"], r["text"], r["_lsn"], r["_is_deleted"])
+            for r in t.scan().collect())
+    assert out["late"] == out["sort"]
+    assert out["sort"] == [("a", "v2", 3, False), ("b", None, 5, True),
+                           ("c", "x1", 4, False)]

@@ -106,3 +106,19 @@ def test_ivf_build_query_split(spark):
         assert rows[0]["vec_id"] == exact[0]["vec_id"]
     finally:
         assigned.unpersist()
+
+
+def test_neardup_bucket_cap_bounds_candidates(spark):
+    """Adversarial near-constant embedding cluster: every vector lands in
+    ONE LSH bucket. Uncapped, the within-bucket join is n²; with
+    max_bucket=m the pair count is bounded by m(m-1)/2 — the skew guard
+    that keeps embedding near-dup viable at 100 TB."""
+    n, dim = 200, 8
+    base = [1.0] + [0.001] * (dim - 1)
+    rows = [(i, [x + (i % 7) * 1e-6 for x in base]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    capped = cosine_neardup_pairs(df, dim=dim, threshold=0.0, bits=4,
+                                  max_bucket=10)
+    assert capped.count() <= 45  # 10*9/2
+    uncapped = cosine_neardup_pairs(df, dim=dim, threshold=0.0, bits=4)
+    assert uncapped.count() == n * (n - 1) / 2
