@@ -7,7 +7,9 @@ at local[N] and local[4N] on the SAME input, report throughput at both
 + scaling efficiency = (ev/s@4N / ev/s@N) / 4, then time headline
 queries at local[CPUS].
 
-Parallelism levels: N=1, 4N=4. This host is 16 physical cores x SMT2
+Parallelism levels: N=1, 4N=4, each worker pinned (taskset) to exactly
+N CPUs — the cgroup budget of an N-core executor pod; sidecar Python
+workers/GC share it as on a cluster. This host is 16 physical cores x SMT2
 sharing ONE memory controller; measured ceilings (tools/probe data in
 BENCH/BASELINE.md): a busy-loop scales 4.15x from 4->16 workers but any
 memory-touching work (parquet decompress, Arrow exchange) saturates
@@ -211,12 +213,26 @@ def run_queries() -> dict:
     return out
 
 
+def _pin_cmd(cores: int) -> list[str]:
+    """Hard N-CPU affinity mask for the apply worker — the cgroup CPU
+    limit an executor pod has on K8s/YARN. Without it the low level
+    CHEATS: at nominal 1 core, pandas-UDF Python sidecars and GC threads
+    overflow onto idle silicon (measured 1.7 effective cores), so the
+    'scaling' would compare 1.7 cores to 4. Pinned, every level runs its
+    whole process tree (JVM + Python workers + driver) on exactly N
+    CPUs, as a real N-core executor would."""
+    if shutil.which("taskset"):
+        return ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"]
+    return []
+
+
 def _apply_at(cores: int, n_runs: int = RUNS) -> dict:
     runs = []
     for _attempt in range(n_runs):
         _wait_for_quiet()
         p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--apply-cores", str(cores)],
+            _pin_cmd(cores)
+            + [sys.executable, os.path.abspath(__file__), "--apply-cores", str(cores)],
             capture_output=True, text=True, cwd=REPO, timeout=3600,
         )
         line = next((ln for ln in p.stdout.splitlines()
@@ -303,6 +319,13 @@ def main() -> None:
             "executor brings its own memory controllers/NICs/disks. "
             "Deeper levels (2→8, 4→16, below) progressively share the "
             "one controller and are reported as secondary points.\n\n"
+            "Each apply worker runs under a hard N-CPU affinity mask "
+            "(taskset — the cgroup CPU limit an executor pod has on "
+            "K8s/YARN), so pandas-UDF Python sidecars, GC and driver "
+            "threads share the executor's N cores exactly as on a real "
+            "cluster; unpinned, the N=1 level silently overflows ~0.7 "
+            "cores of sidecar work onto idle silicon and the ratio "
+            "compares 1.7 effective cores against 4.\n\n"
             "| parallelism | wall (s) | events/sec | cpu (s) | final rows | runs (s) | load before/after |\n"
             "|---|---|---|---|---|---|---|\n"
             + "".join(

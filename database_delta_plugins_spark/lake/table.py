@@ -6,9 +6,11 @@ before the batch commit, epoch-fenced exactly-once) is implemented from
 scratch with Iceberg-equivalent *semantics*:
 
 * **Snapshots**: immutable metadata JSON ``_meta/v{N}.json`` listing the
-  data files per key-bucket; readers resolve ``_meta/CURRENT`` (swapped
-  atomically via ``os.replace``) — atomic commits, time travel, and
-  consistent reads for free.
+  data files per key-bucket; the COMMIT POINT is a conditional
+  put-if-absent of that file (lake/metaio.py — POSIX hardlink in the
+  sandbox, S3 If-None-Match at 100 TB); ``_meta/CURRENT`` is only a
+  fast-path hint, with a listing fallback — atomic commits, time
+  travel, and consistent reads for free, no rename primitive needed.
 * **Key-bucketed MERGE, two write modes**: rows are hash-bucketed on
   the primary key (``pmod(xxhash64(url), num_buckets)``; the Iceberg
   ``bucket(N, url)`` partition transform).
@@ -65,10 +67,17 @@ def _type_from_str(s: str) -> T.DataType:
 
 
 class LakeTable:
-    def __init__(self, spark: SparkSession, path: str, snap: dict):
+    def __init__(self, spark: SparkSession, path: str, snap: dict, io=None):
+        from database_delta_plugins_spark.lake.metaio import LocalMetaIO
+
         self.spark = spark
         self.path = path.rstrip("/")
         self.snap = snap
+        # all _meta/ access goes through the MetaIO abstraction (POSIX in
+        # the sandbox, put-if-absent object-store semantics at 100 TB —
+        # see lake/metaio.py). Data-file I/O stays on Spark's Hadoop
+        # filesystem layer, which already speaks s3a/gs/abfs.
+        self.io = io if io is not None else LocalMetaIO()
 
     # ------------------------------------------------------------ lifecycle
     @classmethod
@@ -81,11 +90,15 @@ class LakeTable:
         num_buckets: int = 16,
         properties: dict | None = None,
         write_mode: str = "cow",
+        io=None,
     ) -> "LakeTable":
+        from database_delta_plugins_spark.lake.metaio import LocalMetaIO
+
+        io = io if io is not None else LocalMetaIO()
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be cow|mor, got {write_mode!r}")
         path = path.rstrip("/")
-        os.makedirs(f"{path}/_meta", exist_ok=False)
+        io.makedirs(f"{path}/_meta", exist_ok=False)
         fields = [
             {"id": i + 1, "name": f.name, "type": f.dataType.simpleString(),
              "nullable": bool(f.nullable)}
@@ -111,24 +124,56 @@ class LakeTable:
             "properties": properties or {},
             "created_ms": int(time.time() * 1000),
         }
-        t = cls(spark, path, snap)
+        t = cls(spark, path, snap, io=io)
         t._write_snapshot(snap)
         return t
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+    def load(cls, spark: SparkSession, path: str, io=None) -> "LakeTable":
+        from database_delta_plugins_spark.lake.metaio import LocalMetaIO
+
+        io = io if io is not None else LocalMetaIO()
         path = path.rstrip("/")
-        with open(f"{path}/_meta/CURRENT") as f:
-            v = int(f.read().strip())
-        with open(f"{path}/_meta/v{v}.json") as f:
-            return cls(spark, path, json.load(f))
+        meta = f"{path}/_meta"
+        # CURRENT is a fast-path HINT: the commit point is the
+        # put-if-absent of v{N}.json itself, so a crash between that put
+        # and the hint update must not lose the commit — take the max
+        # PARSEABLE version at or above the hint (an unparseable v{N} is
+        # a legacy partial-write artifact, ignored here and cleared by
+        # the next commit at that version).
+        try:
+            v = int(io.read_text(f"{meta}/CURRENT").strip())
+        except FileNotFoundError:
+            v = -1
+        best: dict | None = None
+        for fn in io.list(meta):
+            if not (fn.startswith("v") and fn.endswith(".json")):
+                continue
+            try:
+                n = int(fn[1:-5])
+            except ValueError:
+                continue
+            if n < v or (best is not None and n <= best["version"]):
+                continue
+            try:
+                snap = json.loads(io.read_text(f"{meta}/{fn}"))
+            except (json.JSONDecodeError, FileNotFoundError):
+                continue
+            if best is None or snap["version"] > best["version"]:
+                best = snap
+        if best is None:
+            raise FileNotFoundError(f"no readable snapshot under {meta}")
+        return cls(spark, path, best, io=io)
 
     @staticmethod
-    def exists(path: str) -> bool:
-        return os.path.exists(f"{path.rstrip('/')}/_meta/CURRENT")
+    def exists(path: str, io=None) -> bool:
+        from database_delta_plugins_spark.lake.metaio import LocalMetaIO
+
+        io = io if io is not None else LocalMetaIO()
+        return io.exists(f"{path.rstrip('/')}/_meta/CURRENT")
 
     def refresh(self) -> "LakeTable":
-        return LakeTable.load(self.spark, self.path)
+        return LakeTable.load(self.spark, self.path, io=self.io)
 
     # ------------------------------------------------------------ accessors
     @property
@@ -201,8 +246,7 @@ class LakeTable:
         """
         snap = self.snap
         if version is not None and version != snap["version"]:
-            with open(f"{self.path}/_meta/v{version}.json") as f:
-                snap = json.load(f)
+            snap = json.loads(self.io.read_text(f"{self.path}/_meta/v{version}.json"))
         cur = {f["id"]: f for f in snap["schemas"][str(snap["current_schema_id"])]}
         # group files by schema_id across all selected buckets' segments
         groups: dict[int, list[str]] = {}
@@ -265,42 +309,40 @@ class LakeTable:
             df = df.filter(~F.col("_is_deleted"))
         snap = self.snap
         if version is not None and version != snap["version"]:
-            with open(f"{self.path}/_meta/v{version}.json") as f:
-                snap = json.load(f)
+            snap = json.loads(self.io.read_text(f"{self.path}/_meta/v{version}.json"))
         fields = snap["schemas"][str(snap["current_schema_id"])]
         return df.select(*[f["name"] for f in fields])
 
     # -------------------------------------------------------------- commits
     def _write_snapshot(self, snap: dict) -> None:
+        from database_delta_plugins_spark.lake.metaio import AlreadyExists
+
         v = snap["version"]
         meta = f"{self.path}/_meta"
         target = f"{meta}/v{v}.json"
-        # exclusive create = optimistic concurrency control: a concurrent
-        # writer racing to the same version fails here, not silently.
+        # THE COMMIT POINT: conditional put of v{N}.json — optimistic
+        # concurrency on the one primitive object stores provide
+        # (put-if-absent; see lake/metaio.py). Data files were written
+        # before this, so a crash before the put leaves only
+        # unreferenced data (expire_snapshots cleans it), and a crash
+        # after it is a COMPLETED commit that load() finds by listing
+        # even though the CURRENT hint was never updated.
         #
-        # Crash recovery: a process killed between creating v{N}.json and
-        # swapping CURRENT leaves an orphan v{N}.json that would deadlock
-        # every future commit at that version. Under the single-writer
-        # contract (C7), a v{N}.json that CURRENT does not reference is
-        # provably a dead attempt by *this* logical writer's previous
-        # incarnation — unlink it and retry once. A genuinely concurrent
-        # writer is still detected in the common case: its completed
-        # commit advances CURRENT to >= N first, and we raise.
+        # AlreadyExists disambiguation: a PARSEABLE v{N} is a genuine
+        # competing commit -> raise (the caller lost the race). An
+        # unparseable one is a partial-write artifact from a legacy
+        # non-atomic writer crash -> clear it and retry once.
+        body = json.dumps(snap)
         try:
-            fh = open(target, "x")
-        except FileExistsError:
-            with open(f"{meta}/CURRENT") as f:
-                cur = int(f.read().strip())
-            if cur >= v:
-                raise
-            os.unlink(target)  # orphan from a crashed attempt
-            fh = open(target, "x")
-        with fh:
-            json.dump(snap, fh)
-        tmp = f"{meta}/.CURRENT.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, f"{meta}/CURRENT")  # atomic pointer swap
+            self.io.put_if_absent(target, body)
+        except AlreadyExists:
+            try:
+                json.loads(self.io.read_text(target))
+                raise  # valid snapshot: true concurrent commit
+            except (json.JSONDecodeError, FileNotFoundError):
+                self.io.delete(target)
+                self.io.put_if_absent(target, body)
+        self.io.put(f"{meta}/CURRENT", str(v))  # fast-path hint
         self.snap = snap
 
     # ------------------------------------------------------ schema evolution
@@ -839,16 +881,17 @@ class LakeTable:
     def _append_lineage(self, lineage: dict) -> None:
         """Append the full epoch lineage record to the sidecar audit log
         (one JSON line per commit; never rewritten — O(1) per epoch)."""
-        with open(f"{self.path}/_meta/lineage.jsonl", "a") as f:
-            f.write(json.dumps(lineage) + "\n")
+        self.io.append_line(f"{self.path}/_meta/lineage.jsonl",
+                            json.dumps(lineage) + "\n")
 
     def lineage_log(self) -> list[dict]:
         """Read the full per-epoch lineage audit trail (sidecar log)."""
         p = f"{self.path}/_meta/lineage.jsonl"
-        if not os.path.exists(p):
+        try:
+            body = self.io.read_text(p)
+        except FileNotFoundError:
             return []
-        with open(p) as f:
-            return [json.loads(ln) for ln in f if ln.strip()]
+        return [json.loads(ln) for ln in body.splitlines() if ln.strip()]
 
     def record_epoch(self, epoch_id: str | int, note: str = "skipped") -> dict:
         """Metadata-only epoch fence: commits a zero-row record so a
@@ -893,8 +936,7 @@ class LakeTable:
         def _snap_at(v: int) -> dict:
             if v == self.snap["version"]:
                 return self.snap
-            with open(f"{self.path}/_meta/v{v}.json") as f:
-                return json.load(f)
+            return json.loads(self.io.read_text(f"{self.path}/_meta/v{v}.json"))
 
         def _files(s: dict) -> set[str]:
             return {
@@ -1003,14 +1045,13 @@ class LakeTable:
         working — standard retention semantics)."""
         meta = f"{self.path}/_meta"
         versions = sorted(
-            int(fn[1:-5]) for fn in os.listdir(meta)
-            if fn.startswith("v") and fn.endswith(".json")
+            int(fn[1:-5]) for fn in self.io.list(meta)
+            if fn.startswith("v") and fn.endswith(".json") and fn[1:-5].isdigit()
         )
         keep = set(versions[-keep_last:]) | {self.version}
         referenced: set[str] = set()
         for v in keep:
-            with open(f"{meta}/v{v}.json") as f:
-                s = json.load(f)
+            s = json.loads(self.io.read_text(f"{meta}/v{v}.json"))
             for info in s["buckets"].values():
                 for seg in info["segments"]:
                     referenced.update(seg["files"])
@@ -1027,7 +1068,7 @@ class LakeTable:
         removed_meta = 0
         for v in versions:
             if v not in keep:
-                os.remove(f"{meta}/v{v}.json")
+                self.io.delete(f"{meta}/v{v}.json")
                 removed_meta += 1
         return {"removed_files": removed_files, "removed_snapshots": removed_meta,
                 "kept_versions": sorted(keep)}
@@ -1036,10 +1077,9 @@ class LakeTable:
     def history(self) -> list[dict]:
         meta = f"{self.path}/_meta"
         out = []
-        for fn in sorted(os.listdir(meta)):
-            if fn.startswith("v") and fn.endswith(".json"):
-                with open(f"{meta}/{fn}") as f:
-                    s = json.load(f)
+        for fn in self.io.list(meta):
+            if fn.startswith("v") and fn.endswith(".json") and fn[1:-5].isdigit():
+                s = json.loads(self.io.read_text(f"{meta}/{fn}"))
                 out.append({"version": s["version"], "epochs": len(s["epochs"]),
                             "schema_id": s["current_schema_id"]})
         return out

@@ -37,6 +37,11 @@ def main() -> None:
     ap.add_argument("--max-files-per-trigger", type=int, default=16)
     ap.add_argument("--salt-buckets", type=int, default=64)
     ap.add_argument("--write-mode", choices=["mor", "cow"], default="mor")
+    ap.add_argument("--lww-strategy", choices=["late", "sort"], default="late",
+                    help="winner selection: 'late' = tiny salted reduce + "
+                         "hashed-key broadcast (payload shuffles winners "
+                         "only); 'sort' = single-exchange bucket-sort "
+                         "window (no broadcast, for ratio~1 insert streams)")
     ap.add_argument("--derive-text", action="store_true",
                     help="run extract_text(html) in the apply path")
     ap.add_argument("--normalize-lang", action="store_true")
@@ -69,6 +74,7 @@ def main() -> None:
         derive_text_from_html=args.derive_text,
         normalize_lang=args.normalize_lang,
         write_mode=args.write_mode,
+        lww_strategy=args.lww_strategy,
         runtime_args=runtime_args,
         tables=(dict(kv.split("=", 1) for kv in args.table_map)
                 if args.table_map else None),
