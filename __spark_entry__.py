@@ -342,6 +342,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.05)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: exact-Jaccard pair graph -> connected
+    components (min-label propagation) -> canonical keep-one per
+    cluster. Oracle: DuckDB recursive-CTE transitive closure computes
+    the identical min-reachable-id component labels."""
+    from database_delta_plugins_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(_docs(spark, sf_dir), threshold=0.05)
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates, exact-Jaccard verified. At threshold 0.3
     with 16 bands x 4 rows the band-collision probability for a
@@ -473,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_rolling_fp": q_text_rolling_fp,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -802,6 +813,21 @@ def oracle_sql() -> dict[str, str]:
           ) AS BIGINT) AS rfp FROM documents
         """,
         "ngram_jaccard": jaccard,
+        "dedup_clusters": f"""
+          WITH RECURSIVE pairs AS ({_jaccard_at(0.05)}),
+          e0 AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+          nodes AS (SELECT DISTINCT src AS n FROM e0),
+          edges AS (SELECT src, dst FROM e0 UNION SELECT n, n FROM nodes),
+          reach AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+          )
+          SELECT src AS doc_id, min(dst) AS comp,
+                 (src = min(dst)) AS keep
+          FROM reach GROUP BY src
+        """,
         "ann_cosine_topk": cosine,
         # LSH/IVF signatures are deterministic ARITHMETIC (hash-derived
         # hyperplane literals, seed centroids), so DuckDB mirrors them

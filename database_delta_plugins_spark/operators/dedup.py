@@ -297,3 +297,70 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
                               max_bucket, n_chunks=n_chunks).select("id_a", "id_b")
     base = _shingle_base(df, id_col, text_col, n)
     return _verify_exact_jaccard(cand, base, threshold)
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Duplicate-cluster resolution over a near-dup pair graph: assign
+    every node the MINIMUM id reachable from it (its component id) —
+    the step after pair generation that a dedup pipeline needs to pick
+    one canonical document per cluster.
+
+    Spark-first shape: iterative min-label propagation as pure DataFrame
+    joins — labels(node, comp); each round pulls min(comp) over
+    neighbors through the symmetrized edge list and converges when no
+    label changes (checked with ONE tiny agg per round). Rounds needed =
+    graph diameter; near-dup clusters are clique-like (every member
+    pairs with most others), so diameter is small — at 10^9 nodes the
+    label/edge joins shuffle narrow (node, comp) longs only, and each
+    round is one hash join + partial-agg reduce. ``localCheckpoint``
+    truncates the growing lineage so round N's plan does not replay
+    rounds 1..N-1.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates(["src", "dst"]).localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .dropDuplicates(["node"])
+        .withColumn("comp", F.col("node"))
+    )
+    for _ in range(max_iter):
+        pulled = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src").agg(F.min("comp").alias("n_comp"))
+        )
+        new = (
+            labels.join(pulled, labels.node == pulled.src, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("n_comp", "comp")).alias("comp"),
+                (F.coalesce("n_comp", "comp") < F.col("comp")).alias("_chg"),
+            )
+        )
+        new = new.localCheckpoint(eager=True)
+        changed = new.agg(F.sum(F.col("_chg").cast("long"))).collect()[0][0]
+        labels = new.drop("_chg")
+        if not changed:
+            break
+    return labels
+
+
+def dedup_clusters(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n: int = 3,
+                   threshold: float = 0.5,
+                   max_df: int | None = 1000) -> DataFrame:
+    """End-to-end near-dup clustering: exact n-gram-Jaccard pairs ->
+    connected components -> canonical representative (min id per
+    cluster). Output: (doc_id, comp, keep) for every document that
+    participates in at least one near-dup pair; keep marks the one
+    survivor per cluster (the training-set dedup decision)."""
+    pairs = ngram_jaccard_pairs(df, id_col=id_col, text_col=text_col,
+                                n=n, threshold=threshold, max_df=max_df)
+    comps = connected_components(pairs)
+    return comps.select(
+        F.col("node").alias(id_col),
+        F.col("comp"),
+        (F.col("node") == F.col("comp")).alias("keep"),
+    )

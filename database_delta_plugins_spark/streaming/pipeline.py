@@ -91,6 +91,7 @@ class CDCPipeline:
         compact_every: int = 8,
         database_base: str | None = None,
         lww_strategy: str = "late",
+        source_format: str = "parquet",
     ):
         # C4: runtime args prefixed 'source.connector.' override knobs
         # (reference: RuntimeArguments.java:37-45 applied at
@@ -152,6 +153,15 @@ class CDCPipeline:
         # is the batch (broadcast would be huge) and for maximal N->4N
         # wall-scaling (no driver-serial section: 0.738 vs 0.665 at 1->4).
         self.lww_strategy = lww_strategy
+        # binlog-shaped log encoding: "parquet" (columnar, footer-stats
+        # audit fast path) or "json" (Debezium-JSON-lines shape: one
+        # envelope object per line, binary as base64 — the wire format a
+        # Kafka-connect CDC topic dump lands in). Same envelope schema,
+        # same apply semantics; json batches use the full-scan audit
+        # (no footers to read).
+        if source_format not in ("parquet", "json"):
+            raise ValueError(f"source_format must be parquet|json, got {source_format!r}")
+        self.source_format = source_format
         self.epoch_lineage: list[dict] = []
         self.listener = None
 
@@ -285,11 +295,10 @@ class CDCPipeline:
 
         files = self._batch_files(epoch_id)
         if files:
-            batch_df = (
-                self.spark.read
-                .schema(event_envelope_schema(self.payload_schema))
-                .parquet(*files)
-            )
+            reader = self.spark.read.schema(
+                event_envelope_schema(self.payload_schema))
+            batch_df = (reader.json(list(files)) if self.source_format == "json"
+                        else reader.parquet(*files))
         dml, _ = decode.split_ddl(batch_df)
         with job_desc(self.spark, f"audit epoch={epoch_id}"):
             # manifest-style audit from parquet footers + pushdown probes
@@ -418,11 +427,12 @@ class CDCPipeline:
 
     # ------------------------------------------------------------- runners
     def read_stream(self) -> DataFrame:
-        return (
+        reader = (
             self.spark.readStream.schema(event_envelope_schema(self.payload_schema))
             .option("maxFilesPerTrigger", self.max_files_per_trigger)
-            .parquet(self.event_log_dir)
         )
+        return (reader.json(self.event_log_dir) if self.source_format == "json"
+                else reader.parquet(self.event_log_dir))
 
     def start(self, available_now: bool = True, with_metrics: bool = False):
         """C1 lifecycle: returns the StreamingQuery (stop() to halt).

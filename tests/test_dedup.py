@@ -99,3 +99,16 @@ def test_simhash_neardup_pairs_exact_verified(spark):
     got = simhash_neardup_pairs(df, max_hamming=16, threshold=0.5).collect()
     assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
     assert 0.5 <= got[0]["jaccard"] < 1.0
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Min-label components: a 2-cluster graph incl. a chain (worst-case
+    diameter) resolves to min-id labels; keep-one per cluster."""
+    from database_delta_plugins_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12)], # triangle
+        "id_a: long, id_b: long")
+    got = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}

@@ -283,3 +283,25 @@ def test_multi_table_kill_restart_replay(spark, sf_dir, tmp_path):
     b_pages, b_posts = run("b", kill_first=True)
     assert a_pages.equals(b_pages)
     assert a_posts.equals(b_posts)
+
+
+def test_json_source_format_equals_parquet(spark, sf_dir, tmp_path):
+    """Debezium-JSON-lines event log (binary html as base64) applies to
+    the identical final state as the parquet-encoded log."""
+    from database_delta_plugins_spark.sources.generator import rich_events_df
+
+    ev = rich_events_df(spark, sf_dir, revs=2, html_pad_bytes=64)
+    plog, jlog = str(tmp_path / "plog"), str(tmp_path / "jlog")
+    ev.repartitionByRange(2, "lsn").write.parquet(plog)
+    ev.repartitionByRange(2, "lsn").write.json(jlog)
+    states = {}
+    for fmt, log in (("parquet", plog), ("json", jlog)):
+        p = CDCPipeline(spark, log, str(tmp_path / f"t_{fmt}"),
+                        str(tmp_path / f"c_{fmt}"), num_buckets=4,
+                        derive_text_from_html=True, source_format=fmt)
+        t = p.run_to_completion()
+        states[fmt] = sorted(
+            (r["url"], r["text"], r["_lsn"], r["_is_deleted"])
+            for r in t.scan().collect())
+    assert states["json"] == states["parquet"]
+    assert len(states["json"]) > 0

@@ -37,6 +37,10 @@ def main() -> None:
     ap.add_argument("--max-files-per-trigger", type=int, default=16)
     ap.add_argument("--salt-buckets", type=int, default=64)
     ap.add_argument("--write-mode", choices=["mor", "cow"], default="mor")
+    ap.add_argument("--source-format", choices=["parquet", "json"],
+                    default="parquet",
+                    help="event-log encoding; json = Debezium-JSON-lines "
+                         "(binary as base64)")
     ap.add_argument("--lww-strategy", choices=["late", "sort"], default="late",
                     help="winner selection: 'late' = tiny salted reduce + "
                          "hashed-key broadcast (payload shuffles winners "
@@ -75,6 +79,7 @@ def main() -> None:
         normalize_lang=args.normalize_lang,
         write_mode=args.write_mode,
         lww_strategy=args.lww_strategy,
+        source_format=args.source_format,
         runtime_args=runtime_args,
         tables=(dict(kv.split("=", 1) for kv in args.table_map)
                 if args.table_map else None),
