@@ -113,6 +113,40 @@ def main():
     checks.append(("IVF query fits no KMeans (no MLlib stage)",
                    "KMeans" not in p6 and "TreeAggregate" not in p6))
 
+    # 7. "sort" LWW merge shape: ONE payload exchange total (the bucket
+    # repartition), winner selection + dedup riding it as Window+Sort.
+    from pyspark.sql.window import Window
+
+    d7 = decode.decode_events(rraw, before_key_only="url").filter(
+        F.col("op_type").isNotNull())
+    d7 = d7.withColumn("_bucket", F.pmod(F.xxhash64("url"), F.lit(8)).cast("int"))
+    d7 = d7.repartition(8, "_bucket")
+    w7 = Window.partitionBy("_bucket").orderBy(F.col("url"), F.desc("lsn"), F.desc("seq"))
+    prev7 = F.lag(F.col("url")).over(w7)
+    q7 = d7.withColumn("_k", prev7.isNull() | (prev7 != F.col("url"))).filter("_k").drop("_k")
+    p7 = plan_of(q7)
+    sections.append(("sort-strategy merge: single exchange + window LWW", q7, p7))
+    checks.append(("sort LWW: exactly one Exchange (window reuses the bucket repartition)",
+                   p7.count("Exchange") - p7.count("ReusedExchange") * 2 == 1
+                   or len(re.findall(r"\(\d+\) Exchange", p7)) == 1))
+
+    # 8. connected-components iteration: label pull joins shuffle ONLY
+    # narrow (node, comp) longs — no payload columns in the exchanges.
+    from database_delta_plugins_spark.operators.dedup import connected_components
+
+    pairs8 = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a: long, id_b: long")
+    e8 = pairs8.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges8 = e8.unionByName(e8.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels8 = edges8.select(F.col("src").alias("node")).dropDuplicates(["node"]) \
+        .withColumn("comp", F.col("node"))
+    q8 = edges8.join(labels8, edges8.dst == labels8.node) \
+        .groupBy("src").agg(F.min("comp").alias("n_comp"))
+    p8 = plan_of(q8)
+    sections.append(("connected-components label pull (one iteration)", q8, p8))
+    checks.append(("components iteration shuffles narrow longs only",
+                   not re.search(r"Exchange hashpartitioning[^\n]*(text|html)", p8)))
+
     with open(_os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write("# EXPLAIN audit — hot-path physical plans\n\n")
         f.write("Checks:\n\n")
