@@ -995,19 +995,32 @@ class LakeTable:
             .otherwise(F.lit("upsert")).alias("_change_type"))
 
     # -------------------------------------------------------- maintenance
-    def compact(self, max_segments_per_bucket: int = 1) -> dict:
+    def compact(self, max_segments_per_bucket: int = 1,
+                purge_tombstones: bool = False) -> dict:
         """Segment-stack compaction: fold every bucket holding more than
         ``max_segments_per_bucket`` segments into one LWW-resolved segment
-        (tombstones preserved — they must keep suppressing late arrivals
-        until snapshot expiry). For mor tables this bounds read-time
-        reduce fan-in; at 100 TB it is the scheduled maintenance job
-        (Iceberg rewrite_data_files analogue)."""
+        (tombstones preserved by default — they must keep suppressing
+        late arrivals). For mor tables this bounds read-time reduce
+        fan-in; at 100 TB it is the scheduled maintenance job (Iceberg
+        rewrite_data_files analogue).
+
+        ``purge_tombstones``: physically drop tombstone rows whose _lsn
+        is at or below the committed replay frontier (last_committed_lsn)
+        — the Iceberg equality-delete-compaction analogue. Safe because
+        any replayed event at-or-below the frontier is already dropped
+        by the D11 replay filter / epoch fence before it could resurrect
+        the key; tombstones above the frontier are retained."""
         over = [int(b) for b, info in self.snap["buckets"].items()
                 if len(info["segments"]) > max_segments_per_bucket]
         if not over:
             return {"buckets_compacted": [], "version": self.version}
         # scan() resolves LWW across segments when stacks are deep
         df = self.scan(buckets=over).withColumn("_bucket", self.bucket_expr(F.col(self.key)))
+        if purge_tombstones:
+            frontier = self.last_committed_lsn()
+            if frontier is not None:
+                df = df.filter(
+                    ~(F.col("_is_deleted") & (F.col("_lsn") <= F.lit(frontier))))
         new_version = self.version + 1
         commit_rel = f"data/compact-{new_version}-{uuid.uuid4().hex[:8]}"
         commit_dir = f"{self.path}/{commit_rel}"

@@ -187,23 +187,44 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         threshold: float = 0.5,
                         max_df: int | None = 1000) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index join on
-    shared shingles (never a cross join). ``max_df`` caps each shingle's
-    postings list (document frequency) — a stop-word shingle appearing in
-    every document would otherwise make the index self-join quadratic in
-    corpus size. Candidates then exact-verify against full shingle sets,
-    so the cap cannot produce false positives."""
+    shared shingles (never a cross join).
+
+    The intersection size is AGGREGATED out of the index join itself —
+    shingles are distinct per doc, so count(*) per (id_a, id_b) over the
+    shared-shingle rows IS |A ∩ B| (hash aggregate with map-side
+    combine), and jaccard = shared / (|A| + |B| - shared) needs only a
+    join to the tiny per-doc size table. No pair ever drags shingle
+    ARRAYS through a shuffle, and the formerly-dominant
+    dropDuplicates-then-array-intersect pass over every candidate
+    (everything sharing ≥1 shingle — quadratic-ish at low thresholds)
+    disappears.
+
+    ``max_df`` caps each shingle's postings list (document frequency) —
+    a stop-word shingle appearing in every document would otherwise make
+    the index self-join quadratic in corpus size. Capping a shingle
+    undercounts intersections that contained it, so the cap trades
+    RECALL only (scores can only deflate — never a false positive);
+    audit with dropped_postings."""
     base = _shingle_base(df, id_col, text_col, n)
     ex = base.select("id", F.explode("shingles").alias("sh"))
     ex = _cap_postings(ex, ["sh"], max_df)
     a = ex.select(F.col("id").alias("id_a"), "sh")
     b = ex.select(F.col("id").alias("id_b"), "sh")
-    cand = (
+    shared = (
         a.join(b, "sh")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("_shared"))
     )
-    return _verify_exact_jaccard(cand, base, threshold)
+    sa = base.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = base.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("_shared") / (F.col("na") + F.col("nb") - F.col("_shared"))
+    return (
+        shared.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("_j", jac)
+        .filter(F.col("_j") >= threshold)
+        .select("id_a", "id_b", F.round("_j", 6).alias("jaccard"))
+    )
 
 
 # powers of two as signed-64 literals; bit 63 = min-long keeps the sum a

@@ -148,3 +148,34 @@ def test_snapshot_metadata_bounded(spark, tmp_path):
     assert all(set(v.keys()) <= {"epoch_id", "committed_version", "rows_applied",
                                  "max_lsn", "skipped_replay"}
                for v in snap["epochs"].values())
+
+
+def test_compact_purge_tombstones(spark, tmp_path):
+    """purge_tombstones drops tombstone rows at/below the replay
+    frontier during compaction; later replay of the delete is fenced, so
+    the key stays gone."""
+    from pyspark.sql import types as T
+
+    from database_delta_plugins_spark.lake.table import LakeTable
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "t_purge"), schema, key="url",
+                         num_buckets=2, write_mode="mor")
+    upd = spark.createDataFrame(
+        [("a", "v1", "I", 1, 0), ("b", "w1", "I", 2, 0), ("a", None, "D", 3, 0)],
+        "url: string, text: string, op_type: string, lsn: long, seq: long")
+    t.merge(upd, epoch_id=1)
+    t = t.refresh()
+    assert t.scan().filter(F.col("_is_deleted")).count() == 1
+    t.compact(max_segments_per_bucket=0, purge_tombstones=True)
+    t = t.refresh()
+    # tombstone physically gone, visible state unchanged
+    assert t.scan().filter(F.col("_is_deleted")).count() == 0
+    assert {r["url"] for r in t.read().collect()} == {"b"}
+    # a replayed epoch containing the delete is fenced -> still no zombie
+    rec = t.merge(upd, epoch_id=1)
+    assert rec["skipped_replay"]
+    assert {r["url"] for r in t.refresh().read().collect()} == {"b"}
