@@ -352,6 +352,33 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(_docs(spark, sf_dir), threshold=0.05)
 
 
+def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-corpus selection — the composition a data
+    pipeline actually runs: quality gate (score >= 0.5) AND identified
+    language AND exact-dedup representative AND near-dup cluster
+    keep-one. Output: the surviving documents with their scores. Every
+    stage is the already-oracle-checked operator; the composed relation
+    is checked by the composed SQL."""
+    from database_delta_plugins_spark.operators.dedup import dedup_clusters, exact_dedup
+    from database_delta_plugins_spark.operators.text import lang_id, quality_score
+
+    d = _docs(spark, sf_dir)
+    q = quality_score(d).select("doc_id", F.round("quality", 4).alias("quality"))
+    l = lang_id(d).select("doc_id", "lang_pred")
+    keep_exact = exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
+    losers = (
+        dedup_clusters(d, threshold=0.05)
+        .filter(~F.col("keep")).select("doc_id")
+    )
+    return (
+        d.select("doc_id")
+        .join(q, "doc_id").join(l, "doc_id")
+        .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und"))
+        .join(keep_exact, "doc_id", "left_semi")
+        .join(losers, "doc_id", "left_anti")
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates, exact-Jaccard verified. At threshold 0.3
     with 16 bands x 4 rows the band-collision probability for a
@@ -484,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rolling_fp": q_text_rolling_fp,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "corpus_select": q_corpus_select,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -813,6 +841,49 @@ def oracle_sql() -> dict[str, str]:
           ) AS BIGINT) AS rfp FROM documents
         """,
         "ngram_jaccard": jaccard,
+        "corpus_select": f"""
+          WITH RECURSIVE f AS (
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens,
+                   length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alpha_chars
+            FROM documents
+          ),
+          g AS (
+            SELECT doc_id,
+                   CASE WHEN n_chars > 0 THEN alpha_chars / n_chars ELSE 0.0 END AS alpha_ratio,
+                   CASE WHEN n_tokens > 0 THEN alpha_chars / n_tokens ELSE 0.0 END AS mean_word_len,
+                   n_tokens
+            FROM f
+          ),
+          q AS (
+            SELECT doc_id,
+                   round(least(n_tokens / 50.0, 1.0) * 0.4 + alpha_ratio * 0.4
+                         + least(mean_word_len / 8.0, 1.0) * 0.2, 4) AS quality
+            FROM g
+          ),
+          l AS (SELECT doc_id, {_lang_case_sql()} AS lang_pred FROM documents),
+          keepx AS (SELECT min(doc_id) AS doc_id FROM documents
+                    GROUP BY md5(lower(trim(text)))),
+          pairs AS ({_jaccard_at(0.05)}),
+          e0 AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+          nodes AS (SELECT DISTINCT src AS n FROM e0),
+          edges AS (SELECT src, dst FROM e0 UNION SELECT n, n FROM nodes),
+          reach AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+          ),
+          comp AS (SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src),
+          losers AS (SELECT doc_id FROM comp WHERE doc_id <> comp)
+          SELECT d.doc_id, q.quality, l.lang_pred
+          FROM documents d
+          JOIN q USING (doc_id) JOIN l USING (doc_id)
+          WHERE q.quality >= 0.5 AND l.lang_pred <> 'und'
+            AND d.doc_id IN (SELECT doc_id FROM keepx)
+            AND d.doc_id NOT IN (SELECT doc_id FROM losers)
+        """,
         "dedup_clusters": f"""
           WITH RECURSIVE pairs AS ({_jaccard_at(0.05)}),
           e0 AS (SELECT id_a AS src, id_b AS dst FROM pairs

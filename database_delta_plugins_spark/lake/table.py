@@ -1087,6 +1087,13 @@ class LakeTable:
                 "kept_versions": sorted(keep)}
 
     # ------------------------------------------------------------- utility
+    def to_view(self, name: str, include_deleted: bool = False) -> None:
+        """Register the current snapshot as a Spark SQL temp view —
+        `spark.sql(f"SELECT ... FROM {name}")` queries the table with
+        full snapshot isolation (the view pins this snapshot's file set;
+        refresh + re-register to see newer commits)."""
+        self.read(include_deleted=include_deleted).createOrReplaceTempView(name)
+
     def history(self) -> list[dict]:
         meta = f"{self.path}/_meta"
         out = []

@@ -179,3 +179,57 @@ def test_compact_purge_tombstones(spark, tmp_path):
     rec = t.merge(upd, epoch_id=1)
     assert rec["skipped_replay"]
     assert {r["url"] for r in t.refresh().read().collect()} == {"b"}
+
+
+def test_orphan_data_dir_ignored_and_expired(spark, tmp_path):
+    """A commit dir written by a crashed attempt (data files exist, no
+    snapshot references them) is invisible to readers and removed by
+    expire_snapshots — the put-if-absent protocol's crash story for the
+    data side."""
+    from pyspark.sql import types as T
+
+    from database_delta_plugins_spark.lake.table import LakeTable
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "t_orph"), schema, key="url",
+                         num_buckets=2)
+    upd = spark.createDataFrame([("a", "v1", "I", 1, 0)],
+                                "url: string, text: string, op_type: string, lsn: long, seq: long")
+    t.merge(upd, epoch_id=1)
+    t = t.refresh()
+    # crashed attempt: data written, snapshot put never happened
+    orphan = f"{t.path}/data/commit-99-deadbeef/_bucket=0"
+    spark.createDataFrame([("zombie", "x", 9, 9, False, None)],
+                          "url: string, text: string, _lsn: long, _seq: long,"
+                          " _is_deleted: boolean, _ingest_ms: long") \
+         .write.parquet(orphan)
+    assert {r["url"] for r in t.refresh().read().collect()} == {"a"}
+    res = t.refresh().expire_snapshots(keep_last=10)
+    assert res["removed_files"] >= 1
+    import os
+    assert not any(f.endswith(".parquet") for f in
+                   (os.listdir(orphan) if os.path.isdir(orphan) else []))
+    assert {r["url"] for r in t.refresh().read().collect()} == {"a"}
+
+
+def test_sql_view_over_table(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from database_delta_plugins_spark.lake.table import LakeTable
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "t_view"), schema, key="url",
+                         num_buckets=2)
+    upd = spark.createDataFrame(
+        [("a", "v1", "I", 1, 0), ("b", None, "D", 2, 0)],
+        "url: string, text: string, op_type: string, lsn: long, seq: long")
+    t.merge(upd, epoch_id=1)
+    t.refresh().to_view("pages_v")
+    got = spark.sql("SELECT url, text FROM pages_v ORDER BY url").collect()
+    assert [(r["url"], r["text"]) for r in got] == [("a", "v1")]
