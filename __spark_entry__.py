@@ -331,6 +331,20 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp")
 
 
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Punct / stopword / uppercase ratio quality signals (Gopher/C4-
+    style boilerplate filters), rounded for cross-engine FP parity."""
+    from database_delta_plugins_spark.operators.text import text_stats
+
+    d = text_stats(_docs(spark, sf_dir))
+    return d.select(
+        "doc_id",
+        F.round("punct_ratio", 4).alias("punct_ratio"),
+        F.round("stopword_ratio", 4).alias("stopword_ratio"),
+        F.round("upper_ratio", 4).alias("upper_ratio"),
+    )
+
+
 def q_text_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin-Karp-shaped rolling-hash fingerprint — order-sensitive and
     incremental, pure arithmetic on both engines (Catalyst aggregate vs
@@ -508,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_stats": q_text_stats,
         "text_rolling_fp": q_text_rolling_fp,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -536,6 +551,31 @@ def _lang_case_sql() -> str:
         for lang, words in LANG_MARKERS
     )
     return f"CASE {branches} ELSE 'und' END"
+
+
+def _text_stats_sql() -> str:
+    from database_delta_plugins_spark.operators.text import STOPWORDS
+
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    punct_re = r"[!-/:-@\[-`{-~]"
+    return f"""
+      WITH f AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(text, '{punct_re}', '', 'g')) AS punct,
+               regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               length(regexp_replace(text, '[^A-Z]', '', 'g')) AS upper_n
+        FROM documents
+      )
+      SELECT doc_id,
+             round(CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END, 4) AS punct_ratio,
+             round(CASE WHEN len(toks) > 0
+                        THEN len(list_filter(toks, x -> x IN ({stoplist}))) / len(toks)
+                        ELSE 0.0 END, 4) AS stopword_ratio,
+             round(CASE WHEN alpha > 0 THEN upper_n / alpha ELSE 0.0 END, 4) AS upper_ratio
+      FROM f
+    """
 
 
 _EMB_DIM = 64  # driver generator's embedding width (validated at query time)
@@ -833,6 +873,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": quality,
         "text_lang_id": f"SELECT doc_id, {_lang_case_sql()} AS lang_pred FROM documents",
         "text_fingerprint": "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
+        "text_stats": _text_stats_sql(),
         "text_rolling_fp": """
           SELECT doc_id, CAST(list_reduce(
             [CAST(0 AS HUGEINT)] ||

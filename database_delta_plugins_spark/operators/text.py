@@ -95,3 +95,40 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text",
         lambda acc, c: (acc * _ROLL_BASE + F.ascii(c)) % _ROLL_MOD,
     )
     return df.withColumn(out, h)
+
+
+# stopword list shared verbatim with the SQL oracle (English core set —
+# the quality-filter convention for web corpora).
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+             "that", "for", "on", "with", "as"]
+
+_PUNCT_RE = r"[!-/:-@\[-`{-~]"
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Punctuation / stopword / uppercase ratio signals — the remaining
+    cheap quality-filter features (Gopher/C4-style rules use exactly
+    these to drop boilerplate and shouting pages). Pure Catalyst:
+
+    * punct_ratio    — punctuation chars / total chars
+    * stopword_ratio — stopword tokens / total tokens (0 when no tokens;
+                       near-zero stopword ratio on English text flags
+                       keyword-stuffing / non-prose)
+    * upper_ratio    — uppercase letters / alphabetic letters
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    punct = n_chars - F.length(F.regexp_replace(t, _PUNCT_RE, ""))
+    toks = F.regexp_extract_all(F.lower(t), F.lit(_WORD_RE), 0)
+    n_tokens = F.size(toks)
+    stop = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    upper = F.length(F.regexp_replace(t, "[^A-Z]", ""))
+    return (
+        df.withColumn("punct_ratio",
+                      F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0)))
+        .withColumn("stopword_ratio",
+                    F.when(n_tokens > 0, stop / n_tokens).otherwise(F.lit(0.0)))
+        .withColumn("upper_ratio",
+                    F.when(alpha > 0, upper / alpha).otherwise(F.lit(0.0)))
+    )

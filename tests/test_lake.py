@@ -228,3 +228,16 @@ def test_change_feed_between_versions(spark, tmp_path):
     assert [r["url"] for r in ch3] == ["e"] and ch3[0]["body"] == "z1"
     # empty window
     assert t.changes(t.version).count() == 0
+
+
+def test_snapshot_isolation_reader_pinned(spark, tmp_path):
+    """A reader holding version N's DataFrame keeps seeing N's state
+    after a concurrent commit to N+1 (immutable files + pinned manifest
+    = snapshot isolation)."""
+    t = _mk(spark, tmp_path, "t_iso")
+    t.merge(_upd(spark, [("a", "v1", "en", "I", 1, 0)]), epoch_id=1)
+    t = t.refresh()
+    pinned = t.read()          # plan resolved against version-N manifest
+    t.merge(_upd(spark, [("a", "v2", "en", "U", 2, 0)]), epoch_id=2)
+    assert [r["text"] for r in pinned.collect()] == ["v1"]
+    assert [r["text"] for r in t.refresh().read().collect()] == ["v2"]

@@ -55,3 +55,20 @@ def test_rolling_fingerprint_order_sensitive(spark):
     assert got[1] == got[3]          # identical text -> identical hash
     assert got[1] != got[2]          # word order matters (md5-of-set wouldn't)
     assert all(0 <= v < (1 << 31) - 1 for v in got.values())
+
+
+def test_text_stats_signals(spark):
+    from database_delta_plugins_spark.operators.text import text_stats
+
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog, in a house!"),
+         (2, "SHOUTING ALL CAPS"),
+         (3, "xq zr kv plmn wrt"),   # no stopwords
+         (4, "")],
+        "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in text_stats(df).collect()}
+    assert got[1]["stopword_ratio"] > 0.4          # the, and, the, in, a
+    assert got[1]["punct_ratio"] > 0
+    assert got[2]["upper_ratio"] == 1.0
+    assert got[3]["stopword_ratio"] == 0.0
+    assert got[4]["punct_ratio"] == 0.0 and got[4]["stopword_ratio"] == 0.0
