@@ -449,6 +449,17 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(dbl, qv, k=10, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE)
 
 
+def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multi-query exact ANN: 3 query vectors against the corpus
+    in ONE pass (broadcast queries, window top-k per query)."""
+    from database_delta_plugins_spark.operators.similarity import cosine_topk_batch
+
+    dbl = _dbl(_emb(spark, sf_dir))
+    qs = dbl.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return cosine_topk_batch(dbl, qs, k=5)
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: exact cosine within LSH buckets; the
     oracle mirrors the signature arithmetic, so the full pair set is
@@ -530,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_batch_topk": q_ann_batch_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embed_neardup": q_embed_neardup,
@@ -944,6 +956,23 @@ def oracle_sql() -> dict[str, str]:
         # LSH/IVF signatures are deterministic ARITHMETIC (hash-derived
         # hyperplane literals, seed centroids), so DuckDB mirrors them
         # exactly — candidates, probes and scores all value-checked.
+        "ann_batch_topk": """
+          WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+          scored AS (
+            SELECT q.q_id, e.vec_id,
+                   list_dot_product(e.v, q.qv) /
+                   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS c
+            FROM e CROSS JOIN q
+          ),
+          ranked AS (
+            SELECT q_id, vec_id, c,
+                   row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank
+            FROM scored
+          )
+          SELECT q_id, vec_id, round(c, 6) AS cos_sim, rank
+          FROM ranked WHERE rank <= 5
+        """,
         "ann_lsh_topk": _ann_lsh_oracle(),
         "ann_ivf_topk": _ann_ivf_oracle(),
         "embed_neardup": _embed_neardup_oracle(),

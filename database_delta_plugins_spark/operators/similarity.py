@@ -49,6 +49,35 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     )
 
 
+def cosine_topk_batch(df: DataFrame, queries: DataFrame, k: int = 10,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """Exact top-k for a BATCH of query vectors in one pass: broadcast
+    the (small) query set, score every (vector, query) pair map-side —
+    the corpus is read ONCE for all queries, never shuffled — then a
+    per-query top-k via window rank over the scored pairs (shuffle is
+    O(|corpus| × |queries|) narrow scored rows, not payload). The
+    offline-serving shape: N probe queries against a 10^9-vector corpus
+    amortize the scan across the whole batch."""
+    from pyspark.sql.window import Window
+
+    q = F.broadcast(queries.select(
+        F.col(q_id_col).alias("_qid"), F.col(q_vec_col).alias("_qv")))
+    scored = (
+        df.select(id_col, vec_col).crossJoin(q)
+        .select("_qid", id_col,
+                cosine(F.col(vec_col), F.col("_qv")).alias("_c"))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("_c"), F.col(id_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(F.col("_qid").alias(q_id_col), id_col,
+                F.round("_c", 6).alias("cos_sim"),
+                F.col("_rk").alias("rank"))
+    )
+
+
 def _hyperplane(i: int, dim: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane i (hash-derived,
     values in [-1, 1))."""

@@ -122,3 +122,20 @@ def test_neardup_bucket_cap_bounds_candidates(spark):
     assert capped.count() <= 45  # 10*9/2
     uncapped = cosine_neardup_pairs(df, dim=dim, threshold=0.0, bits=4)
     assert uncapped.count() == n * (n - 1) / 2
+
+
+def test_batch_topk_matches_per_query(spark, sf_dir):
+    """Batch multi-query top-k equals running cosine_topk per query."""
+    from database_delta_plugins_spark.operators.similarity import cosine_topk_batch
+
+    df = _emb(spark, sf_dir)
+    pdf = df.toPandas()
+    qs = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    got = cosine_topk_batch(df, qs, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append(r["vec_id"])
+    for qid in (0, 1, 2):
+        qv = list(pdf.loc[pdf.vec_id == qid, "embedding"].iloc[0])
+        assert by_q[qid] == _numpy_topk(pdf, qv, 5)
