@@ -447,6 +447,26 @@ class LakeTable:
     def merge(self, updates: DataFrame, epoch_id: str | int | None = None,
               extra_lineage: dict | None = None,
               transform=None, lww_strategy: str = "late") -> dict:
+        """MERGE the update batch into the table — see _merge_inner for
+        the full semantics (LWW strategies, tombstones, epoch fencing,
+        transform contract). This wrapper only scopes AQE off."""
+        # AQE scoped OFF for the merge plan (restored after): every join
+        # here is either an explicit broadcast (winners) or 1:1 on the
+        # key (post-LWW updates x target — one row per key on both
+        # sides, no skew to re-plan), and the write exchange is
+        # fixed-width; adaptive re-planning only adds driver latency
+        # between stages (measured: cow merge 8.6 s -> 4.5 s at sf0.1).
+        aqe = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return self._merge_inner(updates, epoch_id, extra_lineage,
+                                     transform, lww_strategy)
+        finally:
+            self.spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+    def _merge_inner(self, updates: DataFrame, epoch_id: str | int | None,
+                     extra_lineage: dict | None,
+                     transform, lww_strategy: str) -> dict:
         """Key-partitioned copy-on-write MERGE (SURVEY.md §2.4 A1-A3).
 
         ``updates`` columns: <payload per current schema> + op_type(I|U|D)
