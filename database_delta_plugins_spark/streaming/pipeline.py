@@ -106,6 +106,9 @@ class CDCPipeline:
                     "salt_buckets": salt_buckets,
                     "derive_text_from_html": derive_text_from_html,
                     "normalize_lang": normalize_lang,
+                    "lww_strategy": lww_strategy,
+                    "source_format": source_format,
+                    "compact_every": compact_every,
                 },
                 runtime_args,
             )
@@ -114,6 +117,9 @@ class CDCPipeline:
             salt_buckets = cfg["salt_buckets"]
             derive_text_from_html = cfg["derive_text_from_html"]
             normalize_lang = cfg["normalize_lang"]
+            lww_strategy = cfg["lww_strategy"]
+            source_format = cfg["source_format"]
+            compact_every = cfg["compact_every"]
         self.spark = spark
         self.event_log_dir = event_log_dir
         self.table_path = table_path
