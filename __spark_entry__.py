@@ -287,6 +287,25 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"))
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming exact dedup: the event feed DOUBLED (a replaying
+    source), streamed through dropDuplicatesWithinWatermark — the
+    drained output must be exactly the distinct event set (duplicate
+    rows are identical, so the kept-first row is value-deterministic)."""
+    from database_delta_plugins_spark.streaming.analytics import (
+        dedup_events_stream,
+        read_events_stream,
+        write_time_ordered_stream,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts", "value")
+    d = tempfile.mkdtemp(prefix="evdup_")
+    write_time_ordered_stream(spark, ev.unionByName(ev), d, n_chunks=3)
+    src = read_events_stream(spark, d, max_files_per_trigger=1)
+    return _drain_stream(dedup_events_stream(src), "q_stream_dedup_sink", spark)
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts")
@@ -528,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "stream_hourly": q_stream_hourly,
         "stream_sessions": q_stream_sessions,
+        "stream_dedup": q_stream_dedup,
         "dedup_exact": q_dedup_exact,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -860,6 +880,9 @@ def oracle_sql() -> dict[str, str]:
           SELECT user_id, session_start, session_end, n_events
           FROM sess
           WHERE session_end <= (SELECT w FROM wm) - INTERVAL 30 MINUTE
+        """,
+        "stream_dedup": """
+          SELECT event_id, user_id, event_type, ts, value FROM events
         """,
         "events_sessions": """
           WITH g AS (

@@ -183,3 +183,21 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800,
         )
     )
 
+
+
+def dedup_events_stream(src: DataFrame, key_cols: list[str] | None = None,
+                        watermark: str = "2 hours",
+                        ts_col: str = "ts") -> DataFrame:
+    """Streaming exact deduplication: keep the FIRST occurrence of each
+    key, dropping duplicates that arrive within the watermark horizon of
+    it (``dropDuplicatesWithinWatermark``). The streaming-ingest
+    counterpart of exact_dedup: state per key is one timestamp and is
+    EVICTED once the watermark passes it — bounded by keys-per-horizon,
+    not stream length, which is what makes exact dedup viable on an
+    unbounded 10^10-event feed (an unbounded dropDuplicates would hold
+    every key forever)."""
+    key_cols = key_cols or ["event_id"]
+    return (
+        src.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(key_cols)
+    )

@@ -103,3 +103,32 @@ def test_sessionize_stream_matches_batch(spark, sf_dir, tmp_path):
     assert all(g[k] == b[k] for k in g)
     # and most sessions should have closed on a bounded drain
     assert len(g) >= 0.5 * len(b)
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """A feed with every event duplicated (replayed source) streams
+    through dedup_events_stream to exactly the distinct event set."""
+    import tempfile
+
+    from database_delta_plugins_spark.streaming.analytics import (
+        dedup_events_stream,
+        read_events_stream,
+        write_time_ordered_stream,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "ts", "value")
+    doubled = ev.unionByName(ev)
+    d = str(tmp_path / "dupstream")
+    write_time_ordered_stream(spark, doubled, d, n_chunks=3)
+    src = read_events_stream(spark, d, max_files_per_trigger=1)
+    q = (
+        dedup_events_stream(src).writeStream.format("memory")
+        .queryName("dedup_sink").outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from dedup_sink")
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
