@@ -332,14 +332,30 @@ class LakeTable:
         # competing commit -> raise (the caller lost the race). An
         # unparseable one is a partial-write artifact from a legacy
         # non-atomic writer crash -> clear it and retry once.
+        #
+        # The delete+retry recovery is SINGLE-WRITER ONLY (ADVICE r2):
+        # two RACING writers could both classify the artifact as partial,
+        # A delete+put commits, then B deletes A's now-valid snapshot and
+        # puts its own — A's commit silently lost. Plain put-if-absent
+        # cannot order a re-validate after a delete (that needs a
+        # conditional delete / generation match the MetaIO contract
+        # doesn't require), so under the multi-writer OCC contract
+        # (properties.strict_occ) AlreadyExists is terminal: the caller
+        # reloads and retries at the next version; an unparseable
+        # artifact needs out-of-band repair. The default single-writer
+        # mode (the reference's one-replicator-per-source contract, C7)
+        # keeps the recovery: with one writer the artifact can only be
+        # OUR OWN prior crash.
         body = json.dumps(snap)
         try:
             self.io.put_if_absent(target, body)
-        except AlreadyExists:
+        except AlreadyExists as ae:
             try:
                 json.loads(self.io.read_text(target))
                 raise  # valid snapshot: true concurrent commit
             except (json.JSONDecodeError, FileNotFoundError):
+                if snap.get("properties", {}).get("strict_occ"):
+                    raise ae
                 self.io.delete(target)
                 self.io.put_if_absent(target, body)
         self.io.put(f"{meta}/CURRENT", str(v))  # fast-path hint
@@ -970,6 +986,19 @@ class LakeTable:
                         if e.get("max_lsn") is not None), default=None)
 
         s_from, s_to = _snap_at(since_version), _snap_at(to_version)
+        # a purge-compaction inside the window dropped tombstone rows —
+        # the deletes they carried are unrecoverable from the file diff,
+        # so a CDF read across it would silently retain deleted keys
+        # downstream. Refuse rather than lie (Delta CDF refuses similarly
+        # when vacuumed files fall inside the requested range).
+        lp = s_to.get("last_purge_version")
+        if lp is not None and since_version < lp:
+            raise ValueError(
+                f"changes({since_version}, {to_version}) spans a "
+                f"tombstone-purging compaction at version {lp}: delete "
+                "events inside the window were physically removed. Read "
+                f"from version >= {lp}, or compact without purge_tombstones "
+                "when a CDF consumer is behind.")
         old_files = _files(s_from)
         fields = s_to["schemas"][str(s_to["current_schema_id"])]
         names = [f["name"] for f in fields]
@@ -1036,11 +1065,13 @@ class LakeTable:
             return {"buckets_compacted": [], "version": self.version}
         # scan() resolves LWW across segments when stacks are deep
         df = self.scan(buckets=over).withColumn("_bucket", self.bucket_expr(F.col(self.key)))
+        purged = False
         if purge_tombstones:
             frontier = self.last_committed_lsn()
             if frontier is not None:
                 df = df.filter(
                     ~(F.col("_is_deleted") & (F.col("_lsn") <= F.lit(frontier))))
+                purged = True
         new_version = self.version + 1
         commit_rel = f"data/compact-{new_version}-{uuid.uuid4().hex[:8]}"
         commit_dir = f"{self.path}/{commit_rel}"
@@ -1069,8 +1100,16 @@ class LakeTable:
                                 if s["max_lsn"] is not None), default=None),
             }]}
         snap["version"] = new_version
+        if purged:
+            # ADVICE r2: a purge physically drops delete tombstones whose
+            # file was the ONLY carrier of _change_type='delete' for the
+            # key — a CDF window spanning this version can no longer see
+            # those deletes. Record the version so changes() can refuse
+            # such windows instead of silently omitting deletes.
+            snap["last_purge_version"] = new_version
         self._write_snapshot(snap)
-        return {"buckets_compacted": over, "version": new_version}
+        return {"buckets_compacted": over, "version": new_version,
+                "purged_tombstones": purged}
 
     def expire_snapshots(self, keep_last: int = 3) -> dict:
         """Delete data files and metadata unreferenced by the most recent

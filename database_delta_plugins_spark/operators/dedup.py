@@ -321,23 +321,32 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+                         id_b: str = "id_b", max_iter: int = 25,
+                         on_nonconverge: str = "raise") -> DataFrame:
     """Duplicate-cluster resolution over a near-dup pair graph: assign
     every node the MINIMUM id reachable from it (its component id) —
     the step after pair generation that a dedup pipeline needs to pick
     one canonical document per cluster.
 
     Spark-first shape: iterative min-label propagation as pure DataFrame
-    joins — labels(node, comp); each round pulls min(comp) over
-    neighbors through the symmetrized edge list and converges when no
-    label changes (checked with ONE tiny agg per round). Rounds needed =
-    graph diameter; near-dup clusters are clique-like (every member
-    pairs with most others), so diameter is small — at 10^9 nodes the
-    label/edge joins shuffle narrow (node, comp) longs only, and each
-    round is one hash join + partial-agg reduce. ``localCheckpoint``
-    truncates the growing lineage so round N's plan does not replay
-    rounds 1..N-1.
+    joins — labels(node, comp); each round (1) pulls min(comp) over
+    neighbors through the symmetrized edge list, then (2) POINTER-JUMPS:
+    comp <- min(comp, comp[comp]) via a self-join of the label relation
+    (sound: comp[v] is reachable from v, so anything comp[v] reaches, v
+    reaches). The jump doubles how far a label has travelled each round,
+    so convergence needs O(log diameter) rounds, not diameter — a
+    CHAIN-shaped near-dup graph (low thresholds produce those, not
+    cliques; ADVICE r2) of 10^6 nodes converges in ~20 rounds where
+    plain propagation needs 10^6. At 10^9 nodes every join shuffles
+    narrow (node, comp) longs only. ``localCheckpoint`` truncates the
+    growing lineage so round N's plan does not replay rounds 1..N-1.
+    Convergence is checked with ONE tiny agg per round; exhausting
+    ``max_iter`` with labels still moving raises (or warns with
+    ``on_nonconverge='warn'``) instead of silently returning a
+    multi-labelled component.
     """
+    if on_nonconverge not in ("raise", "warn"):
+        raise ValueError(f"on_nonconverge must be raise|warn, got {on_nonconverge!r}")
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -347,24 +356,45 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         .dropDuplicates(["node"])
         .withColumn("comp", F.col("node"))
     )
+    changed = None
     for _ in range(max_iter):
         pulled = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src").agg(F.min("comp").alias("n_comp"))
         )
-        new = (
+        stepped = (
             labels.join(pulled, labels.node == pulled.src, "left")
             .select(
                 "node",
+                F.col("comp").alias("_prev"),
                 F.least(F.col("comp"), F.coalesce("n_comp", "comp")).alias("comp"),
-                (F.coalesce("n_comp", "comp") < F.col("comp")).alias("_chg"),
             )
+        )
+        hop = stepped.select(F.col("node").alias("_hn"), F.col("comp").alias("_hc"))
+        new = (
+            stepped.join(hop, stepped.comp == hop._hn, "left")
+            .select(
+                "node", "_prev",
+                F.least(F.col("comp"), F.coalesce("_hc", "comp")).alias("comp"),
+            )
+            .withColumn("_chg", F.col("comp") < F.col("_prev"))
+            .drop("_prev")
         )
         new = new.localCheckpoint(eager=True)
         changed = new.agg(F.sum(F.col("_chg").cast("long"))).collect()[0][0]
         labels = new.drop("_chg")
         if not changed:
             break
+    if changed:
+        msg = (f"connected_components did not converge in {max_iter} rounds "
+               f"({changed} labels still moving) — component ids are NOT "
+               "final; raise max_iter (rounds needed ~ log2(diameter) with "
+               "pointer jumping)")
+        if on_nonconverge == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 

@@ -53,7 +53,8 @@ def lww_reduce_late(df: DataFrame, key: str = "url",
                     salt_buckets: int = 64,
                     broadcast_winners: bool = True,
                     dedup: bool = True,
-                    hash_key: bool = False) -> DataFrame:
+                    hash_key: bool = False,
+                    hash_mod: int | None = None) -> DataFrame:
     """Late-materialization LWW: the winner per key is decided over ONLY
     (key, lsn, seq) — column pruning reaches the scan, so the wide
     payload (html!) never enters the reduce shuffle — then winners join
@@ -71,20 +72,40 @@ def lww_reduce_late(df: DataFrame, key: str = "url",
     of W×4KB (W = distinct keys), or none when W broadcasts.
     """
     ord_s = _ord()
-    # hash_key: the broadcast side carries xxhash64(key) (8 B) instead of
-    # the key itself (urls: ~60 B) — ~3x smaller driver-side relation
-    # build, the serial section of every epoch. A 64-bit collision can
-    # admit a LOSER row of the colliding key (~n²/2^64 per batch); the
-    # caller MUST therefore reduce max-per-key downstream — LakeTable's
-    # bucket-local dedup does exactly that, which makes the merge path
-    # sound unconditionally. Standalone reduces keep hash_key=False.
-    kcol = F.xxhash64(F.col(key)).alias("_w_key") if hash_key \
-        else F.col(key).alias("_w_key")
-    tiny = df.select(kcol, *[F.col(c) for c in ORDER_COLS]).withColumn(
+    # hash_key: the broadcast side carries TWO independent 64-bit hashes
+    # of the key (16 B) instead of the key itself (urls: ~60 B) — a
+    # smaller driver-side relation build, the serial section of every
+    # epoch. Why two: grouping winners under a SINGLE 64-bit hash merges
+    # any colliding keys' order stats, and the colliding key whose
+    # max-(lsn,seq) is smaller then has NO row matching ord == _w — its
+    # update is silently DROPPED for the batch, and no downstream dedup
+    # can restore a row that never survived the join. With two
+    # independent hashes (the second salted) a key is only merged on a
+    # simultaneous 128-bit collision: expected dropped winners per batch
+    # ~ n²/2^129 (~1e-20 even at n = 10^10), vs ~n²/2^65 single-hashed.
+    # This is astronomically safe but NOT unconditionally sound; callers
+    # that need a hard guarantee use hash_key=False (exact key carried).
+    # A collision can also admit a stale row of the OTHER colliding key
+    # (ord matches under the merged group); the caller must reduce
+    # max-per-key downstream — LakeTable's bucket-local dedup does.
+    #
+    # hash_mod (TEST HOOK ONLY): wraps the primary hash in pmod(., m) to
+    # force primary-hash collisions, proving the secondary hash keeps
+    # per-key winner selection correct under collision.
+    if hash_key:
+        h1 = F.xxhash64(F.col(key))
+        if hash_mod is not None:
+            h1 = F.pmod(h1, F.lit(hash_mod))
+        h2 = F.xxhash64(F.lit("_lww_h2"), F.col(key))
+        key_cols = [h1.alias("_w_key"), h2.alias("_w_key2")]
+    else:
+        key_cols = [F.col(key).alias("_w_key")]
+    group_cols = ["_w_key", "_w_key2"] if hash_key else ["_w_key"]
+    tiny = df.select(*key_cols, *[F.col(c) for c in ORDER_COLS]).withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in ORDER_COLS]), F.lit(salt_buckets))
     )
-    s1 = tiny.groupBy("_w_key", "_salt").agg(F.max(ord_s).alias("_w"))
-    winners = s1.groupBy("_w_key").agg(F.max("_w").alias("_w"))
+    s1 = tiny.groupBy(*group_cols, "_salt").agg(F.max(ord_s).alias("_w"))
+    winners = s1.groupBy(*group_cols).agg(F.max("_w").alias("_w"))
     # explicit broadcast: the winners' size can't be estimated through a
     # pandas-UDF projection, so without the hint Catalyst picks
     # sort-merge and SORTS the wide payload side — the exact thing this
@@ -93,12 +114,18 @@ def lww_reduce_late(df: DataFrame, key: str = "url",
     # which at that point should use lww_reduce_salted partitioned.
     if broadcast_winners:
         winners = F.broadcast(winners)
-    probe = F.xxhash64(F.col(key)) if hash_key else F.col(key)
-    j = df.join(
-        winners,
-        (probe == F.col("_w_key")) & (ord_s == F.col("_w")),
-        "inner",
-    )
+    if hash_key:
+        p1 = F.xxhash64(F.col(key))
+        if hash_mod is not None:
+            p1 = F.pmod(p1, F.lit(hash_mod))
+        cond = (
+            (p1 == F.col("_w_key"))
+            & (F.xxhash64(F.lit("_lww_h2"), F.col(key)) == F.col("_w_key2"))
+            & (ord_s == F.col("_w"))
+        )
+    else:
+        cond = (F.col(key) == F.col("_w_key")) & (ord_s == F.col("_w"))
+    j = df.join(winners, cond, "inner")
     # exact duplicates of the winner event — same (key, lsn, seq), e.g. a
     # source replaying the boundary record — would BOTH survive the join
     # and break the one-row-per-key contract downstream (mor segments

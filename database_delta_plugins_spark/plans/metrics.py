@@ -53,9 +53,21 @@ class ThroughputListener(StreamingQueryListener):
         })
 
     # ----- summaries -----
+    def total_input_rows(self) -> int:
+        """Source-side events read (streaming numInputRows). Reads 0 on
+        the file-rebound apply path (see record_sink_rows)."""
+        return sum(p["num_input_rows"] for p in self.progress)
+
+    def total_applied_rows(self) -> int:
+        """Sink-side post-LWW winner rows committed by the pipeline."""
+        return sum(r["rows"] for r in self.sink_rows)
+
     def total_rows(self) -> int:
-        return (sum(p["num_input_rows"] for p in self.progress)
-                + sum(r["rows"] for r in self.sink_rows))
+        """Liveness indicator: rows seen on EITHER side (max, not sum —
+        summing double-counted epochs whose handed-over plan executed
+        AND mixed input events with winner rows; ADVICE r2). For rates,
+        use the typed accessors above."""
+        return max(self.total_input_rows(), self.total_applied_rows())
 
     def failed(self) -> bool:
         return any(t["exception"] for t in self.terminated)

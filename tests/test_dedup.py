@@ -112,3 +112,23 @@ def test_connected_components_chain_and_clusters(spark):
         "id_a: long, id_b: long")
     got = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_connected_components_long_path_pointer_jumping(spark):
+    """ADVICE r2: chain-shaped near-dup graphs (low thresholds) have
+    diameter ~ n, and plain min-label propagation needed n rounds —
+    max_iter=25 then silently returned a multi-labelled component.
+    Pointer jumping must converge a 1000-node path in <= 12 rounds."""
+    import pytest
+
+    from database_delta_plugins_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "id_a long, id_b long")
+    got = connected_components(pairs, max_iter=12).collect()
+    assert len(got) == 1000
+    assert all(r["comp"] == 0 for r in got)
+
+    # and non-convergence is now a signal, not silence
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)

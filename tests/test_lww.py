@@ -144,3 +144,29 @@ def test_merge_sort_strategy_equals_late(spark, tmp_path):
     assert out["late"] == out["sort"]
     assert out["sort"] == [("a", "v2", 3, False), ("b", None, 5, True),
                            ("c", "x1", 4, False)]
+
+
+def test_lww_late_hashed_survives_primary_hash_collision(spark):
+    """ADVICE r2: a 64-bit hash collision in the hashed-winner broadcast
+    merged two keys' order stats and silently DROPPED the key whose
+    max-(lsn,seq) was smaller. The fix carries a second independent hash;
+    force total primary-hash collision via the test hook (hash_mod=1 —
+    every key shares one primary hash group) and require per-key winners
+    to still be exact."""
+    from database_delta_plugins_spark.operators.lww import (
+        lww_reduce,
+        lww_reduce_late,
+    )
+
+    rows = [(f"k{i}", f"v{i}-{r}", i * 100 + r, 0)
+            for i in range(20) for r in range(3)]
+    df = spark.createDataFrame(rows, "url string, text string, lsn long, seq long")
+    exact = {r["url"]: r["text"] for r in lww_reduce(df).collect()}
+    for mod in (1, 2, 7):
+        got = {r["url"]: r["text"]
+               for r in lww_reduce_late(df, hash_key=True, hash_mod=mod).collect()}
+        assert got == exact, f"hash_mod={mod}: dropped/wrong winners"
+    # and the un-forced production path agrees too
+    got = {r["url"]: r["text"]
+           for r in lww_reduce_late(df, hash_key=True).collect()}
+    assert got == exact

@@ -233,3 +233,52 @@ def test_sql_view_over_table(spark, tmp_path):
     t.refresh().to_view("pages_v")
     got = spark.sql("SELECT url, text FROM pages_v ORDER BY url").collect()
     assert [(r["url"], r["text"]) for r in got] == [("a", "v1")]
+
+
+def test_changes_refuses_window_spanning_purge(spark, tmp_path):
+    """ADVICE r2: purge_tombstones physically drops the only file that
+    carried _change_type='delete' for a key — a CDF window spanning the
+    purge would silently omit the delete and a downstream consumer would
+    retain the row forever. changes() must refuse such windows and keep
+    serving windows that start at/after the purge."""
+    import pytest
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "t_cdfp"), schema, key="url",
+                         num_buckets=2, write_mode="mor")
+    v0 = t.version
+    t.merge(spark.createDataFrame(
+        [("a", "v1", "I", 1, 0), ("b", "w1", "I", 2, 0)],
+        "url string, text string, op_type string, lsn long, seq long"),
+        epoch_id=1)
+    t = t.refresh()
+    t.merge(spark.createDataFrame(
+        [("a", None, "D", 3, 0)],
+        "url string, text string, op_type string, lsn long, seq long"),
+        epoch_id=2)
+    t = t.refresh()
+    # pre-purge window still sees the delete
+    pre = t.changes(v0).collect()
+    assert any(r["_change_type"] == "delete" for r in pre)
+    res = t.compact(max_segments_per_bucket=0, purge_tombstones=True)
+    assert res["purged_tombstones"]
+    t = t.refresh()
+    purge_v = t.version
+    with pytest.raises(ValueError, match="tombstone-purging compaction"):
+        t.changes(v0)
+    # windows starting at/after the purge are fine
+    t.changes(purge_v).collect()
+    # a compact WITHOUT purge does not poison later windows
+    t.merge(spark.createDataFrame(
+        [("c", "x1", "I", 4, 0)],
+        "url string, text string, op_type string, lsn long, seq long"),
+        epoch_id=3)
+    t = t.refresh()
+    t.compact(max_segments_per_bucket=0, purge_tombstones=False)
+    t = t.refresh()
+    got = t.changes(purge_v).collect()
+    assert {r["url"] for r in got} == {"c"}

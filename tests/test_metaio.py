@@ -86,3 +86,42 @@ def test_local_put_if_absent_is_atomic_and_exclusive(tmp_path):
     assert json.loads(io.read_text(p)) == {"ok": 1}
     # no tmp residue from either attempt
     assert [f for f in io.list(str(tmp_path)) if f.endswith(".tmp")] == []
+
+
+def test_strict_occ_never_deletes_competing_artifact(spark, tmp_path):
+    """ADVICE r2: the unparseable-artifact delete+retry recovery is only
+    sound single-writer (a racing writer could delete the OTHER writer's
+    just-committed snapshot). With properties.strict_occ the writer must
+    surface AlreadyExists instead of recovering."""
+    import json
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from database_delta_plugins_spark.lake.metaio import AlreadyExists
+    from database_delta_plugins_spark.lake.table import LakeTable
+
+    schema = T.StructType([T.StructField("url", T.StringType(), False),
+                           T.StructField("text", T.StringType(), True)])
+    io = MemoryMetaIO()
+    tp = str(tmp_path / "t_strict")
+    t = LakeTable.create(spark, tp, schema, key="url", num_buckets=2,
+                         write_mode="mor", io=io,
+                         properties={"strict_occ": True})
+    # plant an unparseable artifact at the next version
+    io.put(f"{tp}/_meta/v1.json", "{half-written")
+    upd = spark.createDataFrame(
+        [("a", "v1", "I", 1, 0)],
+        "url string, text string, op_type string, lsn long, seq long")
+    with pytest.raises(AlreadyExists):
+        t.merge(upd, epoch_id=1)
+    # the artifact was NOT deleted (no recovery attempted)
+    assert io.read_text(f"{tp}/_meta/v1.json") == "{half-written"
+    # default (single-writer) mode recovers from its own prior crash
+    io2 = MemoryMetaIO()
+    tp2 = str(tmp_path / "t_single")
+    t2 = LakeTable.create(spark, tp2, schema, key="url", num_buckets=2,
+                          write_mode="mor", io=io2)
+    io2.put(f"{tp2}/_meta/v1.json", "{half-written")
+    t2.merge(upd, epoch_id=1)
+    assert json.loads(io2.read_text(f"{tp2}/_meta/v1.json"))["version"] == 1

@@ -100,7 +100,8 @@ def main() -> None:
         "table_version": t.version,
         "epochs": len(t.committed_epochs()),
         "rows_visible": t.read().count(),
-        "stream_rows": pipe.listener.total_rows() if pipe.listener else None,
+        "stream_applied_rows": (pipe.listener.total_applied_rows()
+                                if pipe.listener else None),
     }))
     spark.stop()
 
