@@ -136,6 +136,47 @@ def q_cdc_merge_mor_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
                               lww_strategy="sort")
 
 
+def q_cdc_mor_deep_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-epoch mor apply (deep segment stack, no compaction) then a full
+    read — exercises the LATE-MATERIALIZED mor resolve (r3): winners
+    reduced over narrow (url,lsn,seq), payload joined back broadcast,
+    never shuffled. Final state is epoch-split-invariant, so the same
+    sequential-LWW oracle as cdc_merge_upsert applies."""
+    from pyspark.sql import types as T
+
+    from database_delta_plugins_spark.lake.table import LakeTable
+
+    ev = cdc_events_df(spark, sf_dir)
+    upd = decode.map_opcode(ev).select(
+        "url", "warc_ts", F.col("after_text").alias("text"), "lang",
+        "op_type", "lsn", "seq",
+    )
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ])
+    tmp = tempfile.mkdtemp(prefix="lake_deep_")
+    shutil.rmtree(tmp)
+    t = LakeTable.create(spark, tmp, schema, key="url", num_buckets=8,
+                         write_mode="mor")
+    lo, hi = upd.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    n_epochs = 8
+    step = max(1, (hi - lo + 1) // n_epochs)
+    for e in range(n_epochs):
+        a = lo + e * step
+        b = hi if e == n_epochs - 1 else lo + (e + 1) * step - 1
+        t.merge(upd.filter((F.col("lsn") >= a) & (F.col("lsn") <= b)),
+                epoch_id=e + 1, lww_strategy="sort")
+        t = t.refresh()
+    return (
+        t.scan()
+        .filter(~F.col("_is_deleted"))
+        .select("url", "warc_ts", "text", "lang", F.col("_lsn").alias("last_lsn"))
+    )
+
+
 def q_cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-feed read (LakeTable.changes): apply the log as two
     epochs split at the deterministic lsn midpoint, then read the feed
@@ -535,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_lww": q_cdc_apply_lww,
         "cdc_merge_upsert": q_cdc_merge_upsert,
         "cdc_merge_mor_sort": q_cdc_merge_mor_sort,
+        "cdc_mor_deep_read": q_cdc_mor_deep_read,
         "cdc_changes_feed": q_cdc_changes_feed,
         "d2_opcode_map": q_d2_opcode_map,
         "d3_row_image": q_d3_row_image,
@@ -791,6 +833,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_apply_lww": lww,
         "cdc_merge_upsert": lww,
         "cdc_merge_mor_sort": lww,
+        "cdc_mor_deep_read": lww,
         "cdc_changes_feed": f"""
           WITH cdc_events AS ({_CDC}),
           b AS (SELECT CAST(floor((min(lsn) + max(lsn)) / 2) AS BIGINT) AS mid

@@ -195,7 +195,8 @@ def run_queries() -> dict:
 
     spark = get_spark(master=f"local[{CPUS}]", app_name="bench-queries",
                       shuffle_partitions=CPUS)
-    heads = ["cdc_apply_lww", "cdc_merge_upsert", "dedup_exact", "minhash_lsh",
+    heads = ["cdc_apply_lww", "cdc_merge_upsert", "cdc_mor_deep_read",
+             "dedup_exact", "minhash_lsh",
              "ngram_jaccard", "simhash", "ann_cosine_topk", "embed_neardup",
              "text_quality", "events_sessions"]
     qs = entrymod.queries()

@@ -243,59 +243,127 @@ class LakeTable:
         columns null-fill; widened types cast). Only the requested
         buckets' files are read — manifest-level pruning, the analogue of
         Iceberg partition pruning.
-        """
+
+        Merge-on-read resolve is LATE-MATERIALIZED (r2 directive #1 —
+        "payload never enters the reduce exchange"): a bucket's stack is
+        BASE (segments[0], the compacted bulk) + DELTA (appended epoch
+        segments — small, ``compact()`` bounds the stack). Only keys
+        present in a delta segment can need resolution, so:
+
+          1. winner set w = max (key, _lsn, _seq) over delta rows ∪ the
+             base rows of delta keys — NARROW columns only; column
+             pruning reaches the parquet scans, the 4 KB html payload is
+             never read for the losing versions, let alone shuffled;
+          2. result = base rows whose key is NOT in w (broadcast ANTI
+             join — payload stays map-side) ∪ rows matching w (broadcast
+             INNER join on (key, _lsn, _seq)).
+
+        Zero payload shuffles — the Iceberg equality-delete read shape
+        (delete set broadcast as a scan filter). Sound because
+        (key, _lsn, _seq) is unique across a bucket's committed stack:
+        keys are unique per segment (_bucket_local_dedup) and an event
+        commits into exactly one segment (epoch fencing, A3). When the
+        manifest says the delta is too big to broadcast
+        (``properties.mor_resolve_broadcast_rows``, default 4M rows —
+        i.e. compaction is far behind), falls back to the one-shuffle
+        payload-wide max_by reduce."""
         snap = self.snap
         if version is not None and version != snap["version"]:
             snap = json.loads(self.io.read_text(f"{self.path}/_meta/v{version}.json"))
         cur = {f["id"]: f for f in snap["schemas"][str(snap["current_schema_id"])]}
-        # group files by schema_id across all selected buckets' segments
-        groups: dict[int, list[str]] = {}
-        multi_segment = False
+        # group files by schema_id, split base (first segment per bucket)
+        # vs delta (appended epoch segments)
+        base_groups: dict[int, list[str]] = {}
+        delta_groups: dict[int, list[str]] = {}
+        delta_rows = 0
         for b, info in snap["buckets"].items():
             if buckets is not None and int(b) not in buckets:
                 continue
-            segs = info["segments"]
-            if len(segs) > 1:
-                multi_segment = True
-            for seg in segs:
-                groups.setdefault(seg["schema_id"], []).extend(
+            for i, seg in enumerate(info["segments"]):
+                dst = base_groups if i == 0 else delta_groups
+                dst.setdefault(seg["schema_id"], []).extend(
                     f"{self.path}/{p}" for p in seg["files"]
                 )
-        parts = []
-        for sid, files in groups.items():
-            if not files:
-                continue
-            old = {f["id"]: f for f in snap["schemas"][str(sid)]}
-            df = self.spark.read.parquet(*files)
-            cols = []
-            for fid in sorted(cur):
-                nf = cur[fid]
-                if fid in old:
-                    cols.append(F.col(old[fid]["name"]).cast(nf["type"]).alias(nf["name"]))
-                else:
-                    cols.append(F.lit(None).cast(nf["type"]).alias(nf["name"]))
-            cols += [F.col(c) for c in SYSTEM_COLS]
-            parts.append(df.select(*cols))
-        if not parts:
+                if i > 0:
+                    # manifest row stats (None for legacy compact segments)
+                    delta_rows += seg["rows"] if seg.get("rows") else 0
+
+        def _read_groups(groups: dict[int, list[str]]) -> DataFrame | None:
+            parts = []
+            for sid, files in groups.items():
+                if not files:
+                    continue
+                old = {f["id"]: f for f in snap["schemas"][str(sid)]}
+                df = self.spark.read.parquet(*files)
+                cols = []
+                for fid in sorted(cur):
+                    nf = cur[fid]
+                    if fid in old:
+                        cols.append(F.col(old[fid]["name"]).cast(nf["type"]).alias(nf["name"]))
+                    else:
+                        cols.append(F.lit(None).cast(nf["type"]).alias(nf["name"]))
+                cols += [F.col(c) for c in SYSTEM_COLS]
+                parts.append(df.select(*cols))
+            if not parts:
+                return None
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        base = _read_groups(base_groups)
+        delta = _read_groups(delta_groups)
+        if base is None and delta is None:
             return self.spark.createDataFrame([], self.full_schema())
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        if multi_segment:
-            # merge-on-read resolve: LWW per key across the segment stack
-            # (one shuffle; map-side partial combine). Keys are unique
-            # within a segment, so the reduce input per key is bounded by
-            # the stack depth — compact() bounds that.
-            key = snap["key"]
-            others = [c for c in out.columns if c != key]
-            winner = F.max_by(
-                F.struct(*[F.col(c) for c in others]),
-                F.struct(F.col("_lsn"), F.col("_seq")),
-            ).alias("_w")
-            out = out.groupBy(key).agg(winner).select(
-                key, *[F.col(f"_w.{c}").alias(c) for c in others]
-            )
-        return out
+        if delta is None:
+            return base
+        if base is None:
+            base, delta = delta, None
+            return self._resolve_lww_shuffle(base, snap["key"])
+        limit = int(self.snap.get("properties", {}).get(
+            "mor_resolve_broadcast_rows", 4_000_000))
+        if delta_rows > limit:
+            return self._resolve_lww_shuffle(base.unionByName(delta), snap["key"])
+        return self._resolve_lww_broadcast(base, delta, snap["key"])
+
+    @staticmethod
+    def _resolve_lww_broadcast(base: DataFrame, delta: DataFrame,
+                               key: str) -> DataFrame:
+        """Late-materialized mor resolve (see scan): narrow winner set,
+        broadcast anti/inner joins, payload never shuffled."""
+        ord_s = F.struct(F.col("_lsn"), F.col("_seq"))
+        dn = delta.select(key, "_lsn", "_seq")
+        dkeys = dn.select(key).distinct()
+        bn = base.select(key, "_lsn", "_seq").join(F.broadcast(dkeys), key, "semi")
+        w = (
+            dn.unionByName(bn)
+            .groupBy(key)
+            .agg(F.max(F.struct(F.col("_lsn"), F.col("_seq"))).alias("_w"))
+            .select(F.col(key).alias("_w_k"), F.col("_w"))
+        )
+        wb = F.broadcast(w)
+        untouched = base.join(wb, base[key] == F.col("_w_k"), "left_anti")
+        both = base.unionByName(delta)
+        resolved = (
+            both.join(wb, (both[key] == F.col("_w_k")) & (ord_s == F.col("_w")),
+                      "inner")
+            .select(*both.columns)
+        )
+        return untouched.unionByName(resolved)
+
+    def _resolve_lww_shuffle(self, out: DataFrame, key: str) -> DataFrame:
+        """Fallback mor resolve: one payload-wide shuffle with map-side
+        partial combine (max_by over the full struct). Used when the
+        delta exceeds the broadcast budget — compaction has fallen far
+        behind — or when a bucket has no base (legacy edge)."""
+        others = [c for c in out.columns if c != key]
+        winner = F.max_by(
+            F.struct(*[F.col(c) for c in others]),
+            F.struct(F.col("_lsn"), F.col("_seq")),
+        ).alias("_w")
+        return out.groupBy(key).agg(winner).select(
+            key, *[F.col(f"_w.{c}").alias(c) for c in others]
+        )
 
     def read(self, include_deleted: bool = False, version: int | None = None) -> DataFrame:
         """User-facing view: payload columns, tombstones filtered.

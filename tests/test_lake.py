@@ -241,3 +241,73 @@ def test_snapshot_isolation_reader_pinned(spark, tmp_path):
     t.merge(_upd(spark, [("a", "v2", "en", "U", 2, 0)]), epoch_id=2)
     assert [r["text"] for r in pinned.collect()] == ["v1"]
     assert [r["text"] for r in t.refresh().read().collect()] == ["v2"]
+
+
+def _formatted_plan(df) -> str:
+    import io as _io
+    from contextlib import redirect_stdout
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _exchange_inputs(plan: str) -> list[str]:
+    """Input-column lines of every Exchange/BroadcastExchange node in a
+    formatted plan — what actually crosses the wire."""
+    import re
+    lines = plan.splitlines()
+    out = []
+    for i, ln in enumerate(lines):
+        if re.match(r"\(\d+\) (Broadcast)?Exchange", ln.strip()):
+            for j in range(i + 1, min(i + 5, len(lines))):
+                if lines[j].strip().startswith("Input"):
+                    out.append(lines[j])
+                    break
+    return out
+
+
+def test_mor_scan_payload_never_shuffled(spark, tmp_path):
+    """r3 directive #1: multi-segment mor scan resolves LWW late-
+    materialized — every Exchange in the plan carries only narrow
+    (key, _lsn, _seq) columns, never the payload; the resolve joins are
+    broadcast. The over-budget fallback (properties.
+    mor_resolve_broadcast_rows=0) shuffles but returns identical state."""
+    rows1 = [("a", "v1", "en", "I", 1, 0), ("b", "w1", "de", "I", 2, 0),
+             ("c", "x1", "fr", "I", 3, 0)]
+    rows2 = [("a", "v2", "en", "U", 4, 0), ("b", None, None, "D", 5, 0),
+             ("d", "y1", "en", "I", 6, 0)]
+    rows3 = [("a", "v3", "en", "U", 7, 0)]
+
+    def _fill(name, **props):
+        t = LakeTable.create(spark, str(tmp_path / name), SCHEMA, key="url",
+                             num_buckets=4, write_mode="mor",
+                             properties=props or None)
+        for i, rows in enumerate((rows1, rows2, rows3)):
+            t.merge(_upd(spark, rows), epoch_id=i + 1, lww_strategy="sort")
+            t = t.refresh()
+        return t
+
+    t = _fill("t_late")
+    # 3-deep stack on touched buckets
+    assert any(len(i["segments"]) >= 2 for i in t.snap["buckets"].values())
+    df = t.scan()
+    plan = _formatted_plan(df)
+    exch = _exchange_inputs(plan)
+    assert exch, "expected at least one exchange (winner reduce)"
+    for ln in exch:
+        assert "text#" not in ln, f"payload entered an exchange: {ln}"
+    assert "BroadcastHashJoin" in plan
+    state = {r["url"]: (r["text"], r["_lsn"]) for r in df.collect()}
+    assert state == {"a": ("v3", 7), "b": (None, 5), "c": ("x1", 3),
+                     "d": ("y1", 6)}
+    assert df.filter(F.col("_is_deleted")).count() == 1
+
+    # fallback: broadcast budget 0 -> payload-wide shuffle reduce,
+    # identical result
+    t2 = _fill("t_fallback", mor_resolve_broadcast_rows=0)
+    df2 = t2.scan()
+    plan2 = _formatted_plan(df2)
+    assert "BroadcastHashJoin" not in plan2
+    state2 = {r["url"]: (r["text"], r["_lsn"]) for r in df2.collect()}
+    assert state2 == state

@@ -12,7 +12,12 @@ import numpy as np
 import __spark_entry__ as E
 from database_delta_plugins_spark.session import get_spark
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+only = None
+if "--only" in sys.argv:
+    only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+    args = [a for a in args if a not in only and "," not in a]
+SF = args[0] if args else "/root/testdata/sf0.01"
 spark = get_spark(master="local[16]", shuffle_partitions=16)
 
 con = duckdb.connect()
@@ -21,6 +26,8 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     con.sql(f"create view {t} as select * from '{SF}/{t}.parquet'")
 
 qs, os_ = E.queries(), E.oracle_sql()
+if only:
+    qs = {k: v for k, v in qs.items() if k in only}
 fails = []
 for name, fn in qs.items():
     try:

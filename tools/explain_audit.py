@@ -147,6 +147,52 @@ def main():
     checks.append(("components iteration shuffles narrow longs only",
                    not re.search(r"Exchange hashpartitioning[^\n]*(text|html)", p8)))
 
+    # 9. mor scan late-materialized resolve: with a multi-segment stack,
+    # payload never enters the reduce exchange — every Exchange carries
+    # only narrow (key,_lsn,_seq); resolve joins are broadcast.
+    import shutil as _sh
+    import tempfile as _tf
+
+    from pyspark.sql import types as T
+
+    from database_delta_plugins_spark.lake.table import LakeTable
+
+    mordir = _tf.mkdtemp(prefix="audit_mor_")
+    _sh.rmtree(mordir)
+    mschema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+    ])
+    mt = LakeTable.create(spark, mordir, mschema, key="url", num_buckets=4,
+                          write_mode="mor")
+    mupd = T.StructType(list(mschema.fields) + [
+        T.StructField("op_type", T.StringType(), False),
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("seq", T.LongType(), False)])
+    for e, rows in enumerate([
+            [("a", "v1", "I", 1, 0), ("b", "w1", "I", 2, 0)],
+            [("a", "v2", "U", 3, 0)],
+            [("b", None, "D", 4, 0)]]):
+        mt.merge(spark.createDataFrame(rows, mupd), epoch_id=e + 1,
+                 lww_strategy="sort")
+        mt = mt.refresh()
+    q9 = mt.scan()
+    p9 = plan_of(q9)
+    lines9 = p9.splitlines()
+    exch9 = []
+    for i, ln in enumerate(lines9):
+        if re.match(r"\(\d+\) (Broadcast)?Exchange", ln.strip()):
+            for j in range(i + 1, min(i + 5, len(lines9))):
+                if lines9[j].strip().startswith("Input"):
+                    exch9.append(lines9[j])
+                    break
+    sections.append(("mor scan: late-materialized LWW resolve", q9, p9))
+    checks.append(("mor scan: payload never enters the reduce exchange",
+                   bool(exch9) and not any("text#" in ln for ln in exch9)))
+    checks.append(("mor scan: resolve joins are broadcast",
+                   "BroadcastHashJoin" in p9))
+    _sh.rmtree(mordir, ignore_errors=True)
+
     with open(_os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write("# EXPLAIN audit — hot-path physical plans\n\n")
         f.write("Checks:\n\n")
