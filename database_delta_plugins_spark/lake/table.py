@@ -78,6 +78,10 @@ class LakeTable:
         # see lake/metaio.py). Data-file I/O stays on Spark's Hadoop
         # filesystem layer, which already speaks s3a/gs/abfs.
         self.io = io if io is not None else LocalMetaIO()
+        # per-bucket manifest bodies are immutable once written (unique
+        # uuid-suffixed names), so resolved segment lists cache safely
+        # for this instance's lifetime — refresh() starts a fresh cache.
+        self._manifest_cache: dict[str, list[dict]] = {}
 
     # ------------------------------------------------------------ lifecycle
     @classmethod
@@ -107,7 +111,7 @@ class LakeTable:
         if key not in [f["name"] for f in fields]:
             raise ValueError(f"key column {key!r} not in schema")
         snap = {
-            "format_version": 2,
+            "format_version": 3,
             "table_uuid": str(uuid.uuid4()),
             "version": 0,
             "table_name": os.path.basename(path),
@@ -230,6 +234,59 @@ class LakeTable:
         eps = self.snap["epochs"].values()
         return max((e["max_lsn"] for e in eps if e.get("max_lsn") is not None), default=None)
 
+    # ----------------------------------------------------- bucket manifests
+    # r3 directive #2 (Iceberg-style manifest sharding): the snapshot
+    # carries only bucket -> manifest POINTERS; each bucket's segment/file
+    # list lives in an immutable per-bucket manifest object written only
+    # when that bucket changes. Commit-time metadata I/O is therefore
+    # O(touched buckets), not O(table files): a 512-bucket, 10^7-file
+    # table committing one hot bucket writes one small manifest + a
+    # pointer-sized snapshot. format_version 2 snapshots (inline
+    # "segments") still read transparently.
+
+    def _segments_of(self, info: dict) -> list[dict]:
+        """Resolve one bucket's segment list — inline (v2) or via its
+        manifest pointer (v3, cached; manifests are immutable)."""
+        if "segments" in info:
+            return info["segments"]
+        rel = info["manifest"]
+        segs = self._manifest_cache.get(rel)
+        if segs is None:
+            segs = json.loads(
+                self.io.read_text(f"{self.path}/_meta/{rel}"))["segments"]
+            self._manifest_cache[rel] = segs
+        return segs
+
+    @staticmethod
+    def _nseg(info: dict) -> int:
+        """Segment-stack depth without loading the manifest body."""
+        if "segments" in info:
+            return len(info["segments"])
+        return int(info["nseg"])
+
+    def _write_manifest(self, version: int, b: int,
+                        segments: list[dict]) -> dict:
+        """Write one bucket's manifest object; returns the snapshot
+        pointer entry. Unique name per write — no conditional put needed
+        (the snapshot's put-if-absent is the only commit point)."""
+        rel = f"manifests/b{b}-v{version}-{uuid.uuid4().hex[:8]}.json"
+        self.io.makedirs(f"{self.path}/_meta/manifests", exist_ok=True)
+        self.io.put(f"{self.path}/_meta/{rel}",
+                    json.dumps({"bucket": b, "segments": segments}))
+        self._manifest_cache[rel] = segments
+        return {"manifest": rel, "nseg": len(segments)}
+
+    def segments_map(self, buckets: list[int] | None = None
+                     ) -> dict[int, list[dict]]:
+        """Public view of the current snapshot's per-bucket segment
+        stacks (tests/tooling; resolves manifest pointers)."""
+        out = {}
+        for b, info in self.snap["buckets"].items():
+            if buckets is not None and int(b) not in buckets:
+                continue
+            out[int(b)] = self._segments_of(info)
+        return out
+
     # ------------------------------------------------------------ read path
     def bucket_expr(self, col) -> F.Column:
         return F.pmod(F.xxhash64(col), F.lit(self.num_buckets)).cast("int")
@@ -279,7 +336,7 @@ class LakeTable:
         for b, info in snap["buckets"].items():
             if buckets is not None and int(b) not in buckets:
                 continue
-            for i, seg in enumerate(info["segments"]):
+            for i, seg in enumerate(self._segments_of(info)):
                 dst = base_groups if i == 0 else delta_groups
                 dst.setdefault(seg["schema_id"], []).extend(
                     f"{self.path}/{p}" for p in seg["files"]
@@ -941,9 +998,12 @@ class LakeTable:
                 "max_lsn": st["max_lsn"] if st else None,
             }
             if append_segments and str(b) in snap["buckets"]:
-                snap["buckets"][str(b)]["segments"].append(segment)
+                segs = list(self._segments_of(snap["buckets"][str(b)])) + [segment]
             else:
-                snap["buckets"][str(b)] = {"segments": [segment]}
+                segs = [segment]
+            # one small manifest object per TOUCHED bucket; untouched
+            # buckets keep their pointer (no metadata rewritten for them)
+            snap["buckets"][str(b)] = self._write_manifest(new_version, int(b), segs)
 
         lineage = {
             "epoch_id": eid,
@@ -1042,12 +1102,6 @@ class LakeTable:
                 return self.snap
             return json.loads(self.io.read_text(f"{self.path}/_meta/v{v}.json"))
 
-        def _files(s: dict) -> set[str]:
-            return {
-                f for info in s["buckets"].values()
-                for seg in info["segments"] for f in seg["files"]
-            }
-
         def _frontier(s: dict) -> int | None:
             eps = s.get("epochs", {}).values()
             return max((e["max_lsn"] for e in eps
@@ -1067,7 +1121,6 @@ class LakeTable:
                 "events inside the window were physically removed. Read "
                 f"from version >= {lp}, or compact without purge_tombstones "
                 "when a CDF consumer is behind.")
-        old_files = _files(s_from)
         fields = s_to["schemas"][str(s_to["current_schema_id"])]
         names = [f["name"] for f in fields]
         out_schema = T.StructType(
@@ -1079,11 +1132,23 @@ class LakeTable:
         # group NEW files by their write-time schema id (segments carry
         # it), projecting to the target schema by field id — renames and
         # widenings across the change window resolve like scan() does.
+        # Manifest-pointer fast path: a bucket whose pointer (or inline
+        # body) is IDENTICAL across the window was untouched — skip it
+        # without loading its manifest. The diff is O(changed buckets),
+        # not O(table files); a file never moves buckets (path embeds
+        # _bucket=b), so per-bucket diffing equals the global file diff.
         groups: dict[int, list[str]] = {}
-        for info in s_to["buckets"].values():
-            for seg in info["segments"]:
+        for b, info in s_to["buckets"].items():
+            finfo = s_from["buckets"].get(b)
+            if finfo == info:
+                continue
+            old_b: set[str] = set()
+            if finfo is not None:
+                for seg in self._segments_of(finfo):
+                    old_b.update(seg["files"])
+            for seg in self._segments_of(info):
                 for p in seg["files"]:
-                    if p not in old_files:
+                    if p not in old_b:
                         groups.setdefault(seg["schema_id"], []).append(p)
         if not groups:
             return self.spark.createDataFrame([], out_schema)
@@ -1128,7 +1193,7 @@ class LakeTable:
         by the D11 replay filter / epoch fence before it could resurrect
         the key; tombstones above the frontier are retained."""
         over = [int(b) for b, info in self.snap["buckets"].items()
-                if len(info["segments"]) > max_segments_per_bucket]
+                if self._nseg(info) > max_segments_per_bucket]
         if not over:
             return {"buckets_compacted": [], "version": self.version}
         # scan() resolves LWW across segments when stacks are deep
@@ -1157,8 +1222,8 @@ class LakeTable:
                 for fn in (os.listdir(bdir) if os.path.isdir(bdir) else [])
                 if fn.endswith(".parquet")
             )
-            old_segments = snap["buckets"][str(b)]["segments"]
-            snap["buckets"][str(b)] = {"segments": [{
+            old_segments = self._segments_of(snap["buckets"][str(b)])
+            snap["buckets"][str(b)] = self._write_manifest(new_version, b, [{
                 "files": files,
                 "schema_id": snap["current_schema_id"],
                 "rows": None,
@@ -1166,7 +1231,7 @@ class LakeTable:
                                 if s["min_lsn"] is not None), default=None),
                 "max_lsn": max((s["max_lsn"] for s in old_segments
                                 if s["max_lsn"] is not None), default=None),
-            }]}
+            }])
         snap["version"] = new_version
         if purged:
             # ADVICE r2: a purge physically drops delete tombstones whose
@@ -1190,10 +1255,13 @@ class LakeTable:
         )
         keep = set(versions[-keep_last:]) | {self.version}
         referenced: set[str] = set()
+        referenced_manifests: set[str] = set()
         for v in keep:
             s = json.loads(self.io.read_text(f"{meta}/v{v}.json"))
             for info in s["buckets"].values():
-                for seg in info["segments"]:
+                if "manifest" in info:
+                    referenced_manifests.add(info["manifest"])
+                for seg in self._segments_of(info):
                     referenced.update(seg["files"])
         removed_files = 0
         data_root = f"{self.path}/data"
@@ -1210,7 +1278,14 @@ class LakeTable:
             if v not in keep:
                 self.io.delete(f"{meta}/v{v}.json")
                 removed_meta += 1
+        # GC bucket manifests referenced only by expired snapshots
+        removed_manifests = 0
+        for fn in self.io.list(f"{meta}/manifests"):
+            if fn.endswith(".json") and f"manifests/{fn}" not in referenced_manifests:
+                self.io.delete(f"{meta}/manifests/{fn}")
+                removed_manifests += 1
         return {"removed_files": removed_files, "removed_snapshots": removed_meta,
+                "removed_manifests": removed_manifests,
                 "kept_versions": sorted(keep)}
 
     # ------------------------------------------------------------- utility

@@ -290,7 +290,7 @@ def test_mor_scan_payload_never_shuffled(spark, tmp_path):
 
     t = _fill("t_late")
     # 3-deep stack on touched buckets
-    assert any(len(i["segments"]) >= 2 for i in t.snap["buckets"].values())
+    assert any(len(s) >= 2 for s in t.segments_map().values())
     df = t.scan()
     plan = _formatted_plan(df)
     exch = _exchange_inputs(plan)

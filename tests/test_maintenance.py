@@ -34,8 +34,8 @@ def test_mor_equals_cow_state(spark, tmp_path):
     assert a == b
     assert {r["url"]: r["text"] for r in b} == {"a": "a3", "c": "c1", "d": "d1"}
     # mor appended segments instead of rewriting
-    assert any(len(i["segments"]) > 1 for i in tm.snap["buckets"].values())
-    assert all(len(i["segments"]) == 1 for i in tc.snap["buckets"].values())
+    assert any(len(s) > 1 for s in tm.segments_map().values())
+    assert all(len(s) == 1 for s in tc.segments_map().values())
 
 
 def test_mor_stale_update_loses_at_read(spark, tmp_path):
@@ -56,11 +56,11 @@ def test_mor_stale_update_loses_at_read(spark, tmp_path):
 def test_compact_folds_mor_stack(spark, tmp_path):
     t = _epochs(spark, _mk_mor(spark, tmp_path))
     before = t.read().orderBy("url").collect()
-    assert any(len(i["segments"]) > 1 for i in t.snap["buckets"].values())
+    assert any(len(s) > 1 for s in t.segments_map().values())
     res = t.compact(max_segments_per_bucket=1)
     assert res["buckets_compacted"]
     t = t.refresh()
-    assert all(len(i["segments"]) == 1 for i in t.snap["buckets"].values())
+    assert all(len(s) == 1 for s in t.segments_map().values())
     assert t.read().orderBy("url").collect() == before
     # idempotent while nothing new arrived
     assert t.compact(max_segments_per_bucket=1)["buckets_compacted"] == []
@@ -80,8 +80,8 @@ def test_expire_snapshots_gc(spark, tmp_path):
     assert res["removed_snapshots"] > 0 and res["removed_files"] > 0
     t2 = LakeTable.load(spark, t.path)
     assert t2.read().collect() == state
-    for info in t2.snap["buckets"].values():
-        for seg in info["segments"]:
+    for segs in t2.segments_map().values():
+        for seg in segs:
             for f in seg["files"]:
                 assert os.path.exists(os.path.join(t2.path, f))
 
@@ -282,3 +282,86 @@ def test_changes_refuses_window_spanning_purge(spark, tmp_path):
     t = t.refresh()
     got = t.changes(purge_v).collect()
     assert {r["url"] for r in got} == {"c"}
+
+
+class _CountingIO:
+    """LocalMetaIO wrapper tallying metadata bytes/objects written —
+    proves commit metadata I/O is O(touched buckets), not O(table)."""
+
+    def __init__(self):
+        from database_delta_plugins_spark.lake.metaio import LocalMetaIO
+        self._inner = LocalMetaIO()
+        self.bytes_written = 0
+        self.objects_written = 0
+
+    def put(self, path, text):
+        self.bytes_written += len(text)
+        self.objects_written += 1
+        self._inner.put(path, text)
+
+    def put_if_absent(self, path, text):
+        self.bytes_written += len(text)
+        self.objects_written += 1
+        self._inner.put_if_absent(path, text)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def test_commit_metadata_is_o_touched_buckets(spark, tmp_path):
+    """r3 directive #2: per-bucket manifest sharding. A commit touching
+    ONE bucket of a 64-bucket table writes one manifest + a pointer-only
+    snapshot — the snapshot never embeds file paths, untouched buckets'
+    manifests are never rewritten, and per-commit metadata bytes stay
+    flat as the table's total file count grows."""
+    io = _CountingIO()
+    t = LakeTable.create(spark, str(tmp_path / "t_meta"), SCHEMA, key="url",
+                         num_buckets=64, write_mode="mor", io=io)
+    # spread epoch: populate all 64 buckets
+    spread = [(f"u{i}", f"v{i}", "en", "I", i + 1, 0) for i in range(512)]
+    t.merge(_upd(spark, spread), epoch_id=0, lww_strategy="sort")
+    t = LakeTable.load(spark, t.path, io=io)
+    assert len(t.snap["buckets"]) == 64
+
+    # hot-key epochs: each touches exactly one bucket
+    per_commit = []
+    manifests_dir = str(tmp_path / "t_meta" / "_meta" / "manifests")
+    for e in range(1, 9):
+        n_manifests_before = len(os.listdir(manifests_dir))
+        b0 = io.bytes_written
+        o0 = io.objects_written
+        t.merge(_upd(spark, [("u0", f"w{e}", "en", "U", 1000 + e, 0)]),
+                epoch_id=e, lww_strategy="sort")
+        t = LakeTable.load(spark, t.path, io=io)
+        # exactly 1 new manifest (+ snapshot + CURRENT hint)
+        assert len(os.listdir(manifests_dir)) == n_manifests_before + 1
+        assert io.objects_written - o0 == 3
+        per_commit.append(io.bytes_written - b0)
+
+    # the snapshot carries pointers only — no data-file paths
+    snap_body = open(str(tmp_path / "t_meta" / "_meta" /
+                         f"v{t.version}.json")).read()
+    assert ".parquet" not in snap_body
+    # untouched buckets share manifest pointers across versions
+    prev = __import__("json").loads(open(str(
+        tmp_path / "t_meta" / "_meta" / f"v{t.version - 1}.json")).read())
+    same = sum(1 for b, info in t.snap["buckets"].items()
+               if prev["buckets"].get(b) == info)
+    assert same == 63
+    # per-commit metadata bytes grow only by the epoch record (~120B)
+    # plus the HOT bucket's own stack (one segment entry per epoch —
+    # bounded by compaction), never by the other 63 buckets' file lists
+    # (an inline-file-list snapshot would re-serialize all ~71+ paths
+    # every commit)
+    assert per_commit[-1] < per_commit[0] + 8 * 400
+    # exact accounting: a commit writes the pointer snapshot + the ONE
+    # touched manifest + the CURRENT hint — nothing else (untouched
+    # buckets' manifests/file lists contribute zero bytes)
+    hot_manifest = max(
+        (os.path.join(manifests_dir, f) for f in os.listdir(manifests_dir)),
+        key=os.path.getmtime)
+    assert per_commit[-1] <= (len(snap_body)
+                              + os.path.getsize(hot_manifest) + 16)
+    # state stays correct through it all
+    assert {r["url"]: r["text"] for r in t.read().collect()}["u0"] == "w8"
+    assert t.read().count() == 512
