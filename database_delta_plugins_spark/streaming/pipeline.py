@@ -80,7 +80,7 @@ class CDCPipeline:
         max_files_per_trigger: int = 2,
         dml_blacklist: set[str] | None = None,
         ddl_blacklist: set[str] | None = None,
-        tables: dict[str, str] | None = None,
+        tables: dict[str, str | dict] | None = None,
         columns: list[str] | None = None,
         derive_text_from_html: bool = False,
         normalize_lang: bool = False,
@@ -92,6 +92,8 @@ class CDCPipeline:
         database_base: str | None = None,
         lww_strategy: str = "late",
         source_format: str = "parquet",
+        binary_handling: str = "bytes",
+        charset_columns: dict[str, str] | None = None,
     ):
         # C4: runtime args prefixed 'source.connector.' override knobs
         # (reference: RuntimeArguments.java:37-45 applied at
@@ -109,6 +111,8 @@ class CDCPipeline:
                     "lww_strategy": lww_strategy,
                     "source_format": source_format,
                     "compact_every": compact_every,
+                    "binary_handling": binary_handling,
+                    "charset": "",
                 },
                 runtime_args,
             )
@@ -120,6 +124,14 @@ class CDCPipeline:
             lww_strategy = cfg["lww_strategy"]
             source_format = cfg["source_format"]
             compact_every = cfg["compact_every"]
+            binary_handling = cfg["binary_handling"]
+            # source.connector.charset=col:charset[,col:charset] — the
+            # flat-string form of the per-column charset map (the
+            # reference resolves charset per column from table DDL,
+            # MySqlValueConverters.java:381-399,421-474)
+            if cfg["charset"]:
+                charset_columns = dict(
+                    kv.split(":", 1) for kv in cfg["charset"].split(","))
         self.spark = spark
         self.event_log_dir = event_log_dir
         self.table_path = table_path
@@ -133,12 +145,29 @@ class CDCPipeline:
         # this: mysql/MySqlRecordConsumer.java:347-356)
         self.ddl_blacklist = {a for a in (ddl_blacklist or set())
                               if a != "create_table"}
-        # multi-table replication: table_name -> LakeTable path. None =
-        # single-table mode (every DML/DDL applies to table_path, the
-        # original contract). The reference replicates a SET of tables
-        # per instance (mysql/MySqlTableRegistry.java:57-133) with
-        # per-table dispatch (MySqlRecordConsumer.java:199-206).
-        self.tables = tables
+        # multi-table replication: table_name -> path (str) or a
+        # per-table config dict {path, dml_blacklist, ddl_blacklist,
+        # columns} — the reference binds blacklists and selected columns
+        # at the TABLE level (MySqlRecordConsumer.java:199-206,244-246;
+        # SourceTable.getColumns() used at :265,291). None = single-table
+        # mode (every DML/DDL applies to table_path). Unset per-table
+        # knobs inherit the pipeline-level defaults.
+        self.tables: dict[str, dict] | None = None
+        if tables is not None:
+            self.tables = {}
+            for tname, spec in tables.items():
+                if isinstance(spec, str):
+                    spec = {"path": spec}
+                self.tables[tname] = {
+                    "path": spec["path"],
+                    "dml_blacklist": spec.get("dml_blacklist", dml_blacklist),
+                    # create_table never blacklistable (D8, same rule as
+                    # the global set below)
+                    "ddl_blacklist": {
+                        a for a in (spec.get("ddl_blacklist", ddl_blacklist)
+                                    or set()) if a != "create_table"},
+                    "columns": spec.get("columns", columns),
+                }
         self.columns = columns
         self.derive_text_from_html = derive_text_from_html
         self.normalize_lang = normalize_lang
@@ -168,11 +197,43 @@ class CDCPipeline:
         if source_format not in ("parquet", "json"):
             raise ValueError(f"source_format must be parquet|json, got {source_format!r}")
         self.source_format = source_format
+        # U1/C4: binary.handling.mode analogue — with 'hex'/'base64' every
+        # BinaryType payload column lands as a string (the reference
+        # switches the emitted schema on the knob,
+        # MySqlEventReaderIntegrationTest.java:279-303); charset_columns
+        # decodes named binary columns bytes->string via the column's
+        # charset (vectorized, with utf-8-replace fallback).
+        if binary_handling not in ("bytes", "hex", "base64"):
+            raise ValueError(
+                f"binary_handling must be bytes|hex|base64, got {binary_handling!r}")
+        self.binary_handling = binary_handling
+        self.charset_columns = charset_columns or {}
+        if derive_text_from_html and (
+                binary_handling != "bytes" or "html" in self.charset_columns):
+            # extract_text consumes RAW html bytes; a landing conversion
+            # on the same column would feed it hex/base64/charset text
+            raise ValueError(
+                "derive_text_from_html requires html to land as bytes "
+                "(binary_handling='bytes' and no charset for 'html')")
         self.epoch_lineage: list[dict] = []
         self.listener = None
 
     def _all_table_paths(self) -> list[str]:
-        return [self.table_path] if self.tables is None else list(self.tables.values())
+        if self.tables is None:
+            return [self.table_path]
+        return [cfg["path"] for cfg in self.tables.values()]
+
+    def landed_schema(self) -> T.StructType:
+        """The payload schema as it LANDS in the lake table: binary
+        columns become strings under hex/base64 handling or a per-column
+        charset decode; everything else passes through."""
+        fields = []
+        for f in self.payload_schema.fields:
+            to_string = isinstance(f.dataType, T.BinaryType) and (
+                self.binary_handling != "bytes" or f.name in self.charset_columns)
+            fields.append(T.StructField(
+                f.name, T.StringType() if to_string else f.dataType, f.nullable))
+        return T.StructType(fields)
 
     # ----------------------------------------------------------- bootstrap
     def bootstrap(self, replicate_existing_data: bool = True,
@@ -183,9 +244,26 @@ class CDCPipeline:
         mysql/MySqlConfig.java:126-128). Idempotent: re-running after a
         mid-snapshot crash redoes/completes the snapshot epoch (epoch
         fencing makes the redo a no-op if it committed)."""
-        for p in self._all_table_paths():
+        landed = self.landed_schema()
+
+        def _projected(cols: list[str] | None) -> T.StructType:
+            # D6 at the table level: a projected table is CREATED with
+            # only its selected columns (+ key), matching the reference's
+            # per-table SourceTable.getColumns() contract — not null-
+            # padded to the full source schema.
+            if not cols:
+                return landed
+            keep = set(cols) | {self.key}
+            return T.StructType([f for f in landed.fields if f.name in keep])
+
+        if self.tables is None:
+            specs = [(self.table_path, self.columns)]
+        else:
+            specs = [(cfg["path"], cfg["columns"])
+                     for cfg in self.tables.values()]
+        for p, cols in specs:
             if not LakeTable.exists(p):
-                LakeTable.create(self.spark, p, self.payload_schema,
+                LakeTable.create(self.spark, p, _projected(cols),
                                  key=self.key, num_buckets=self.num_buckets,
                                  write_mode=self.write_mode)
         t = LakeTable.load(self.spark, self._all_table_paths()[0])
@@ -202,18 +280,56 @@ class CDCPipeline:
         return t
 
     # ---------------------------------------------------------- batch body
-    def _decoded(self, dml: DataFrame, last_lsn: int | None = None) -> DataFrame:
+    def _decoded(self, dml: DataFrame, last_lsn: int | None = None,
+                 dml_blacklist: set[str] | None = None,
+                 columns: list[str] | None = None) -> DataFrame:
         """Catalyst-only decode of the whole batch. The expensive pandas
         UDFs (extract_text / norm_lang) do NOT run here: they run in
         ``_winner_transform`` AFTER the LWW reduce, on winners only —
         deterministic row transforms commute with winner selection, and
         at bench skew that is ~200x less Arrow/pandas work. The before
         image is pruned to the key (deletes tombstone the payload), so
-        nested-schema pruning drops before.html/text from the scan."""
-        return decode.decode_events(
-            dml, blacklist=self.dml_blacklist, last_committed_lsn=last_lsn,
-            columns=self.columns, before_key_only=self.key, keep_unknown=True,
+        nested-schema pruning drops before.html/text from the scan.
+        ``dml_blacklist``/``columns`` override the pipeline defaults for
+        one table's slice (per-table binding, reference
+        MySqlRecordConsumer.java:199-206,244-246)."""
+        cols = self.columns if columns is None else columns
+        if cols and self.key not in cols:
+            cols = [self.key, *cols]
+        d = decode.decode_events(
+            dml,
+            blacklist=self.dml_blacklist if dml_blacklist is None else dml_blacklist,
+            last_committed_lsn=last_lsn,
+            columns=cols,
+            before_key_only=self.key, keep_unknown=True,
         )
+        return self._convert_binary(d)
+
+    def _binary_converted_cols(self) -> list[str]:
+        return [f.name for f in self.payload_schema.fields
+                if isinstance(f.dataType, T.BinaryType)
+                and (self.binary_handling != "bytes"
+                     or f.name in self.charset_columns)]
+
+    def _convert_binary(self, d: DataFrame) -> DataFrame:
+        """U1/C4 binary landing conversion, applied at DECODE time (it
+        must precede the merge's schema normalization — casting raw bytes
+        to the landed string type there would be a lossy utf-8 cast).
+        hex/base64 are pure Catalyst (fused into the decode projection);
+        a per-column charset decode is one Arrow pass over the after
+        images (before images are already pruned to the key)."""
+        from database_delta_plugins_spark.functions.types import (
+            binary_handling as _bh, make_charset_decoder)
+
+        for name in self._binary_converted_cols():
+            if name not in d.columns:
+                continue
+            if name in self.charset_columns:
+                dec = make_charset_decoder(self.charset_columns[name])
+                d = d.withColumn(name, dec(F.col(name)))
+            else:
+                d = d.withColumn(name, _bh(F.col(name), self.binary_handling))
+        return d
 
     def _winner_transform(self, d: DataFrame) -> DataFrame:
         """Vectorized per-record transforms (north rule: pandas/Arrow UDFs,
@@ -313,19 +429,18 @@ class CDCPipeline:
             audited = batch_audit_fast(batch_df)
             plin, all_ddls = audited if audited is not None else batch_audit(batch_df)
 
-        # D8: drop blacklisted DDL op types (create_table never — the
-        # constructor already excludes it); count the skips for lineage.
-        ddl_rows: list[tuple[int, str, str | None]] = []
-        ddl_skipped = 0
+        # split database-scope ops out, keep table DDLs with their parsed
+        # action — D8 blacklist filtering happens PER TABLE below (the
+        # reference binds the ddl blacklist at table level,
+        # MySqlRecordConsumer.java:244-246).
+        tbl_ddls: list[tuple[int, str, str, str | None]] = []
         db_ops: list[tuple[int, dict]] = []
         for lsn, dj, tname in all_ddls:
             action = json.loads(dj).get("action")
-            if action in self.ddl_blacklist:
-                ddl_skipped += 1
-            elif action in ("create_database", "drop_database"):
+            if action in ("create_database", "drop_database"):
                 db_ops.append((lsn, json.loads(dj)))
             else:
-                ddl_rows.append((lsn, dj, tname))
+                tbl_ddls.append((lsn, action, dj, tname))
 
         # database-scope ops (DD4): catalog-level, applied first — the
         # reference creates/drops the target dataset namespace.
@@ -340,20 +455,27 @@ class CDCPipeline:
 
         out = []
         if self.tables is None:
+            ddl_rows = [(lsn, dj) for lsn, a, dj, _t in tbl_ddls
+                        if a not in self.ddl_blacklist]
             out += self._apply_table_log(
-                self.table_path, dml,
-                [(lsn, dj) for lsn, dj, _t in ddl_rows],
-                epoch_id, plin, ddl_skipped, seg_prefix="")
+                self.table_path, dml, ddl_rows,
+                epoch_id, plin, len(tbl_ddls) - len(ddl_rows), seg_prefix="")
         else:
             # per-table dispatch from one interleaved log
             # (MySqlRecordConsumer.java:199-206): DML routes on
-            # table_name; a table's DDL only splits ITS segments.
-            for tname, tpath in self.tables.items():
+            # table_name; a table's DDL only splits ITS segments; each
+            # table applies ITS OWN blacklists and column projection.
+            for tname, cfg in self.tables.items():
                 t_dml = dml.filter(F.col("table_name") == tname)
-                t_ddls = [(lsn, dj) for lsn, dj, tn in ddl_rows if tn == tname]
+                t_all = [(lsn, a, dj) for lsn, a, dj, tn in tbl_ddls
+                         if tn == tname]
+                t_ddls = [(lsn, dj) for lsn, a, dj in t_all
+                          if a not in cfg["ddl_blacklist"]]
                 out += self._apply_table_log(
-                    tpath, t_dml, t_ddls, epoch_id, plin, ddl_skipped,
-                    seg_prefix=f"{tname}.")
+                    cfg["path"], t_dml, t_ddls, epoch_id, plin,
+                    len(t_all) - len(t_ddls), seg_prefix=f"{tname}.",
+                    dml_blacklist=cfg["dml_blacklist"],
+                    columns=cfg["columns"])
         # bound the mor segment-stack depth
         if (self.compact_every and isinstance(epoch_id, int)
                 and epoch_id > 0 and epoch_id % self.compact_every == 0):
@@ -371,7 +493,9 @@ class CDCPipeline:
     def _apply_table_log(self, table_path: str, dml: DataFrame,
                          ddl_rows: list[tuple[int, str]],
                          epoch_id: int | str, plin: list[dict],
-                         ddl_skipped: int, seg_prefix: str) -> list[dict]:
+                         ddl_skipped: int, seg_prefix: str,
+                         dml_blacklist: set[str] | None = None,
+                         columns: list[str] | None = None) -> list[dict]:
         """Apply one table's DML+DDL slice of the batch: split at DDL
         boundaries, merge each segment as its own fenced sub-epoch,
         apply each DDL transactionally between segments (A4)."""
@@ -400,7 +524,8 @@ class CDCPipeline:
                 table.record_epoch(seg_id, note="table_dropped")
                 table = table.refresh()
             if seg_id not in table.committed_epochs() and not table.is_dropped:
-                d = self._decoded(seg)
+                d = self._decoded(seg, dml_blacklist=dml_blacklist,
+                                  columns=columns)
                 if boundaries or seg_prefix:
                     # DDL-split or multi-table slice: the batch-level
                     # audit can't attribute rows; re-aggregate.

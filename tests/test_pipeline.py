@@ -305,3 +305,122 @@ def test_json_source_format_equals_parquet(spark, sf_dir, tmp_path):
             for r in t.scan().collect())
     assert states["json"] == states["parquet"]
     assert len(states["json"]) > 0
+
+
+def test_per_table_blacklist_and_projection(spark, sf_dir, tmp_path):
+    """r3 directive #3: blacklists/column projection bind at TABLE level
+    (ref MySqlRecordConsumer.java:199-206,244-246): from one interleaved
+    log, table A blacklists deletes and projects (url, text) while table
+    B applies everything — and a full re-run stays replay-equivalent."""
+    from database_delta_plugins_spark.sources.generator import rich_events_df
+
+    base = rich_events_df(spark, sf_dir, revs=2, with_html=False)
+    pages = base.withColumn("table_name", F.lit("pages"))
+    posts = pages.withColumn("table_name", F.lit("posts")) \
+        .withColumn("lsn", F.col("lsn") + 1)
+    log = str(tmp_path / "log_ptb")
+    pages.unionByName(posts).repartitionByRange(4, "lsn").write.parquet(log)
+    assert spark.read.parquet(log).filter(F.col("op") == "d").count() > 0
+
+    p = CDCPipeline(
+        spark, log, str(tmp_path / "unused_ptb"), str(tmp_path / "c_ptb"),
+        num_buckets=4,
+        tables={
+            "pages": {"path": str(tmp_path / "ptb_pages"),
+                      "dml_blacklist": {"D"},
+                      "columns": ["url", "text"]},
+            "posts": str(tmp_path / "ptb_posts"),
+        },
+    )
+    p.run_to_completion()
+    tp = LakeTable.load(spark, str(tmp_path / "ptb_pages"))
+    ts = LakeTable.load(spark, str(tmp_path / "ptb_posts"))
+
+    # projection: pages landed with ONLY the selected columns
+    assert [f.name for f in tp.schema().fields] == ["url", "text"]
+    assert "lang" in [f.name for f in ts.schema().fields]
+
+    # blacklist: a key whose LAST event is a delete survives in pages
+    # (the delete was skipped) but is gone from posts
+    last = duckdb.sql(f"""
+      with dml as (select * from '{log}/*.parquet'
+                   where op != 'ddl' and table_name = 'posts'),
+      w as (select *, row_number() over (
+              partition by coalesce(after.url, before.url)
+              order by lsn desc, seq desc) rn from dml)
+      select coalesce(after.url, before.url) as url, op from w where rn = 1
+    """).df()
+    deleted_keys = set(last[last["op"] == "d"]["url"])
+    assert deleted_keys
+    pages_urls = {r["url"] for r in tp.read().select("url").collect()}
+    posts_urls = {r["url"] for r in ts.read().select("url").collect()}
+    assert deleted_keys <= pages_urls
+    assert not (deleted_keys & posts_urls)
+
+    # pages equals the no-delete LWW oracle on its slice
+    got = tp.read().orderBy("url").toPandas()
+    oracle = duckdb.sql(f"""
+      with dml as (select * from '{log}/*.parquet'
+                   where op != 'ddl' and table_name = 'pages' and op != 'd'),
+      w as (select *, row_number() over (partition by after.url
+              order by lsn desc, seq desc) rn from dml)
+      select after.url as url, after.text as text from w where rn = 1
+      order by url
+    """).df()
+    assert got.reset_index(drop=True).equals(oracle.reset_index(drop=True))
+
+    # replay equivalence: full re-run is fenced, state unchanged
+    v = tp.version
+    p.run_to_completion()
+    tp2 = LakeTable.load(spark, str(tmp_path / "ptb_pages"))
+    assert tp2.version == v and _state(tp2).equals(_state(tp))
+
+
+def test_binary_handling_hex_e2e(spark, sf_dir, tmp_path):
+    """r3 directive #4: source.connector.binary_handling=hex rides the C4
+    pass-through and changes the LANDED schema (html binary -> hex
+    string), values mirrored by the DuckDB oracle
+    (ref MySqlEventReaderIntegrationTest.java:279-303)."""
+    from database_delta_plugins_spark.sources.generator import rich_events_df
+
+    log = str(tmp_path / "log_hex")
+    rich_events_df(spark, sf_dir, revs=2, with_html=True) \
+        .repartitionByRange(2, "lsn").write.parquet(log)
+    p = CDCPipeline(
+        spark, log, str(tmp_path / "t_hex"), str(tmp_path / "c_hex"),
+        num_buckets=4,
+        runtime_args={"source.connector.binary_handling": "hex"},
+    )
+    t = p.run_to_completion()
+    assert dict((f.name, f.dataType.simpleString())
+                for f in t.schema().fields)["html"] == "string"
+    got = t.read().select("url", "html").orderBy("url").toPandas()
+    oracle = duckdb.sql(f"""
+      with dml as (select * from '{log}/*.parquet' where op != 'ddl'),
+      w as (select *, row_number() over (
+              partition by coalesce(after.url, before.url)
+              order by lsn desc, seq desc) rn from dml)
+      select coalesce(after.url, before.url) as url,
+             lower(hex(after.html)) as html
+      from w where rn = 1 and op != 'd' order by url
+    """).df()
+    assert got.reset_index(drop=True).equals(oracle.reset_index(drop=True))
+
+    # charset decode variant: html lands as decoded text
+    p2 = CDCPipeline(
+        spark, log, str(tmp_path / "t_cs"), str(tmp_path / "c_cs"),
+        num_buckets=4,
+        runtime_args={"source.connector.charset": "html:utf-8"},
+    )
+    t2 = p2.run_to_completion()
+    got2 = t2.read().select("url", "html").orderBy("url").toPandas()
+    oracle2 = duckdb.sql(f"""
+      with dml as (select * from '{log}/*.parquet' where op != 'ddl'),
+      w as (select *, row_number() over (
+              partition by coalesce(after.url, before.url)
+              order by lsn desc, seq desc) rn from dml)
+      select coalesce(after.url, before.url) as url,
+             decode(after.html) as html
+      from w where rn = 1 and op != 'd' order by url
+    """).df()
+    assert got2.reset_index(drop=True).equals(oracle2.reset_index(drop=True))
