@@ -526,7 +526,11 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked (non-empty at sf0.01: ~59 pairs exceed cos 0.4)."""
     dbl = _dbl(_emb(spark, sf_dir))
     dim = len(dbl.head()["embedding"])
-    return cosine_neardup_pairs(dbl, dim=dim, threshold=_NEARDUP_T, bits=_NEARDUP_BITS)
+    # max_bucket=None: the DuckDB oracle mirrors the signature arithmetic
+    # and must see the identical (uncapped) candidate set. Production
+    # default is max_bucket=200 (operators/similarity.py).
+    return cosine_neardup_pairs(dbl, dim=dim, threshold=_NEARDUP_T,
+                                bits=_NEARDUP_BITS, max_bucket=None)
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

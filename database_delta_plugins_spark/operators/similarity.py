@@ -104,20 +104,54 @@ def lsh_signature(df: DataFrame, dim: int, bits: int = 8,
     return df.withColumn(out, sig)
 
 
-def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,
-                    bits: int = 8, id_col: str = "vec_id",
-                    vec_col: str = "embedding", multiprobe: bool = True) -> DataFrame:
-    """Approximate top-k: score only vectors whose LSH bucket matches the
-    query's bucket (or differs by one bit with multiprobe)."""
+def lsh_build(df: DataFrame, dim: int, bits: int = 8,
+              vec_col: str = "embedding") -> DataFrame:
+    """LSH index BUILD (r3 directive #6 — the persist-and-prune split
+    IVF already has): compute signatures ONCE over the corpus; persist
+    the result partitioned by ``sig``
+    (``.write.partitionBy('sig').parquet(idx)``). Queries then never
+    recompute the 2^bits hyperplane dots over the corpus — they
+    partition-prune to the ≤ bits+1 probe buckets at the scan and
+    brute-force within (see ``lsh_topk``)."""
+    return lsh_signature(df, dim, bits=bits, vec_col=vec_col)
+
+
+def lsh_probes(query_vec: list[float], bits: int = 8,
+               multiprobe: bool = True) -> list[int]:
+    """Query-side bucket selection: the query's own signature plus (with
+    multiprobe) every Hamming-1 neighbor — driver-side arithmetic only."""
     dim = len(query_vec)
-    sigged = lsh_signature(df, dim, bits=bits, vec_col=vec_col)
     qsig = 0
     for i in range(bits):
         d = sum(float(a) * b for a, b in zip(query_vec, _hyperplane(i, dim)))
         qsig |= int(d > 0) << i
-    probes = [qsig] + ([qsig ^ (1 << i) for i in range(bits)] if multiprobe else [])
+    return [qsig] + ([qsig ^ (1 << i) for i in range(bits)] if multiprobe else [])
+
+
+def lsh_topk(sigged: DataFrame, query_vec: list[float], k: int = 10,
+             bits: int = 8, id_col: str = "vec_id",
+             vec_col: str = "embedding", multiprobe: bool = True) -> DataFrame:
+    """LSH ANN query against a built (ideally persisted-partitioned)
+    signature index: filter to probe buckets — partition pruning when
+    ``sigged`` was read back from a ``partitionBy('sig')`` layout — then
+    exact cosine top-k within."""
+    probes = lsh_probes(query_vec, bits=bits, multiprobe=multiprobe)
     cand = sigged.filter(F.col("sig").isin(probes))
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                    bits: int = 8, id_col: str = "vec_id",
+                    vec_col: str = "embedding", multiprobe: bool = True,
+                    sigged: DataFrame | None = None) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket matches the
+    query's bucket (or differs by one bit with multiprobe). Pass
+    ``sigged`` from a prior ``lsh_build`` to hit the build-once path;
+    otherwise signatures are computed inline (one-shot convenience)."""
+    if sigged is None:
+        sigged = lsh_build(df, len(query_vec), bits=bits, vec_col=vec_col)
+    return lsh_topk(sigged, query_vec, k=k, bits=bits, id_col=id_col,
+                    vec_col=vec_col, multiprobe=multiprobe)
 
 
 def _py_cosine(a: list[float], b: list[float]) -> float:
@@ -215,19 +249,23 @@ def ivf_topk_kmeans(df: DataFrame, query_vec: list[float], k: int = 10,
 def cosine_neardup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
                          bits: int = 8, id_col: str = "vec_id",
                          vec_col: str = "embedding",
-                         max_bucket: int | None = None) -> DataFrame:
+                         max_bucket: int | None = 200) -> DataFrame:
     """Embedding near-dup pairs: exact cosine verified within LSH buckets
     only — O(sum of bucket²) candidates, never a full cross join.
 
-    ``max_bucket`` is the production skew guard (same contract as the
-    text-dedup operators' caps, operators/dedup.py::_cap_postings): a
-    bucket holding more than ``max_bucket`` vectors — a near-constant
-    embedding cluster, or bits sized too small for n — contributes at
-    most max_bucket² candidate pairs instead of going quadratic in the
+    ``max_bucket`` (default ON at 200 — the production posture, same
+    contract as every text-dedup candidate generator,
+    operators/dedup.py::_cap_postings) is the skew guard: a bucket
+    holding more than ``max_bucket`` vectors — a near-constant embedding
+    cluster, or bits sized too small for n — contributes at most
+    max_bucket² candidate pairs instead of going quadratic in the
     cluster size. Affects candidate RECALL only (emitted pairs are exact
-    cosine); size bits ~ log2(n / target_bucket) and use the cap as the
-    backstop. None = uncapped (small/oracle-checked corpora, where the
-    SQL mirror must see the identical candidate set)."""
+    cosine). Size ``bits ≈ log2(n / target_bucket)`` so average buckets
+    sit near target_bucket (≤ max_bucket), leaving the cap as the
+    backstop for pathological clusters; audit what it discarded with
+    operators.dedup.dropped_postings over the signature relation.
+    Pass ``max_bucket=None`` ONLY for small oracle-checked corpora where
+    a SQL mirror must see the identical candidate set."""
     s = lsh_signature(df.select(id_col, vec_col), dim, bits=bits, vec_col=vec_col)
     if max_bucket is not None:
         from pyspark.sql.window import Window

@@ -109,19 +109,32 @@ def test_ivf_build_query_split(spark):
 
 
 def test_neardup_bucket_cap_bounds_candidates(spark):
-    """Adversarial near-constant embedding cluster: every vector lands in
-    ONE LSH bucket. Uncapped, the within-bucket join is n²; with
-    max_bucket=m the pair count is bounded by m(m-1)/2 — the skew guard
-    that keeps embedding near-dup viable at 100 TB."""
-    n, dim = 200, 8
+    """Adversarial near-constant embedding cluster (r3 directive #5):
+    every vector lands in ONE LSH bucket. The DEFAULT cap (200) bounds
+    the within-bucket join; max_bucket=m bounds pairs at m(m-1)/2; the
+    dropped_postings audit exposes the over-cap bucket; None opts out
+    (oracle-parity mode only)."""
+    from database_delta_plugins_spark.operators.dedup import dropped_postings
+    from database_delta_plugins_spark.operators.similarity import lsh_signature
+
+    n, dim = 300, 8
     base = [1.0] + [0.001] * (dim - 1)
     rows = [(i, [x + (i % 7) * 1e-6 for x in base]) for i in range(n)]
     df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    # default cap (200) engages without being asked for
+    dflt = cosine_neardup_pairs(df, dim=dim, threshold=0.0, bits=4)
+    assert dflt.count() == 200 * 199 / 2
     capped = cosine_neardup_pairs(df, dim=dim, threshold=0.0, bits=4,
                                   max_bucket=10)
     assert capped.count() <= 45  # 10*9/2
-    uncapped = cosine_neardup_pairs(df, dim=dim, threshold=0.0, bits=4)
+    uncapped = cosine_neardup_pairs(df, dim=dim, threshold=0.0, bits=4,
+                                    max_bucket=None)
     assert uncapped.count() == n * (n - 1) / 2
+    # audit: the one constant-cluster bucket shows up with its size
+    sig = lsh_signature(df, dim, bits=4).select(
+        F.col("vec_id").alias("id"), "sig")
+    audit = dropped_postings(sig, ["sig"], cap=200).collect()
+    assert len(audit) == 1 and audit[0]["postings"] == n
 
 
 def test_batch_topk_matches_per_query(spark, sf_dir):
@@ -178,3 +191,43 @@ def test_ivf_persisted_index_partition_prunes(spark, sf_dir, tmp_path):
             cosine_topk(assigned.filter(F.col("_cell").isin(probes)).drop("_cell"),
                         qv, k=10).collect()]
     assert got == base
+
+
+def test_lsh_persisted_index_partition_prunes(spark, sf_dir, tmp_path):
+    """r3 directive #6: the LSH signature index gets the same
+    persist-and-prune treatment as IVF — build once, write partitioned
+    by sig, and a query's probe filter becomes PARTITION pruning at the
+    scan (no hyperplane recompute over the corpus)."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from database_delta_plugins_spark.operators.similarity import (
+        lsh_bucket_topk,
+        lsh_build,
+        lsh_probes,
+        lsh_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    dim = len(emb.head()["embedding"])
+    idx = str(tmp_path / "lsh_idx")
+    lsh_build(emb, dim, bits=4).write.partitionBy("sig").parquet(idx)
+    stored = spark.read.parquet(idx)
+    pdf = emb.toPandas()
+    qv = [float(x) for x in pdf.loc[pdf.vec_id == 0, "embedding"].iloc[0]]
+    got_df = lsh_topk(stored, qv, k=5, bits=4)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got_df.explain("formatted")
+    plan = buf.getvalue()
+    assert re.search(r"PartitionFilters: \[.*sig.*\]", plan), plan[:1500]
+    # no signature recompute in the query plan: sig packing is a
+    # shiftleft sum — absent here (the one zip_with/aggregate left is
+    # the final cosine against the query literal, which is the point)
+    assert "shiftleft" not in plan.lower()
+    # pruned query == inline-build query
+    got = [r["vec_id"] for r in got_df.collect()]
+    base = [r["vec_id"] for r in lsh_bucket_topk(emb, qv, k=5, bits=4).collect()]
+    assert got == base and got[0] == 0
+    assert lsh_probes(qv, bits=4) == lsh_probes(qv, bits=4)
