@@ -378,6 +378,60 @@ class CDCPipeline:
             return files or None
         return None
 
+    def _grouped_segment_lineage(
+        self, dml: DataFrame,
+        specs: list[tuple[str | None, list[int], set[str] | None]],
+    ) -> dict[tuple[str | None, int], list[dict]]:
+        """ONE agg job computing per-(table, DDL-segment, input-partition)
+        lineage for every table's slice of the batch (r3 directive #9).
+        Previously each table's each segment re-aggregated its own
+        lineage — an extra driver job per table per epoch; folded, the
+        per-epoch driver job count stays flat in table count.
+
+        ``specs``: (table_name | None for the single-table slice,
+        ddl-boundary lsns ascending, dml blacklist). Segment index =
+        count of boundaries <= lsn (matching _apply_table_log's
+        half-open [lo, hi) split); blacklisted rows are excluded per
+        table exactly as decode's null-safe D7 filter does (unknown-op
+        rows pass through to be counted)."""
+        op_type = (F.when(F.col("op").isin("c", "r"), F.lit("I"))
+                   .when(F.col("op") == "u", F.lit("U"))
+                   .when(F.col("op") == "d", F.lit("D")))
+        seg_e, keep_e, name_e = None, None, None
+        for tname, bounds, bl in specs:
+            cond = F.lit(True) if tname is None else (F.col("table_name") == tname)
+            seg = F.lit(0)
+            for b in bounds:
+                seg = seg + (F.col("lsn") >= F.lit(b)).cast("int")
+            keep = (F.lit(True) if not bl else
+                    op_type.isNull() | ~op_type.isin(*sorted(bl)))
+            name = (F.lit(tname) if tname is not None
+                    else F.lit(None).cast("string"))
+            seg_e = F.when(cond, seg) if seg_e is None else seg_e.when(cond, seg)
+            keep_e = F.when(cond, keep) if keep_e is None else keep_e.when(cond, keep)
+            name_e = F.when(cond, name) if name_e is None else name_e.when(cond, name)
+        rows = (
+            dml.withColumn("_t", name_e).withColumn("_seg", seg_e)
+            .withColumn("_keep", keep_e).withColumn("_ot", op_type)
+            .filter(F.col("_seg").isNotNull() & F.col("_keep"))
+            .groupBy("_t", "_seg", F.spark_partition_id().alias("partition"))
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.min("lsn").alias("min_lsn"),
+                F.max("lsn").alias("max_lsn"),
+                F.sum(F.col("_ot").isNull().cast("long")).alias("unknown_ops"),
+            )
+            .collect()
+        )
+        out: dict[tuple[str | None, int], list[dict]] = {}
+        for r in sorted(rows, key=lambda r: (r["_seg"], r["partition"])):
+            out.setdefault((r["_t"], int(r["_seg"])), []).append({
+                "partition": int(r["partition"]), "rows": int(r["rows"]),
+                "min_lsn": int(r["min_lsn"]), "max_lsn": int(r["max_lsn"]),
+                "unknown_ops": int(r["unknown_ops"]),
+            })
+        return out
+
     def apply_batch(self, batch_df: DataFrame, epoch_id: int | str) -> list[dict]:
         """foreachBatch body. Deterministically splits the batch at DDL
         boundaries so every DML applies under the schema in force at its
@@ -457,25 +511,48 @@ class CDCPipeline:
         if self.tables is None:
             ddl_rows = [(lsn, dj) for lsn, a, dj, _t in tbl_ddls
                         if a not in self.ddl_blacklist]
+            seg_lineage = None
+            if ddl_rows:
+                # DDL-split epoch: ONE grouped agg replaces a
+                # partition_lineage job per segment
+                seg_lineage = self._grouped_segment_lineage(
+                    dml, [(None, [b for b, _ in ddl_rows],
+                           self.dml_blacklist)])
             out += self._apply_table_log(
                 self.table_path, dml, ddl_rows,
-                epoch_id, plin, len(tbl_ddls) - len(ddl_rows), seg_prefix="")
+                epoch_id, plin, len(tbl_ddls) - len(ddl_rows), seg_prefix="",
+                seg_lineage=None if seg_lineage is None else {
+                    i: seg_lineage.get((None, i), [])
+                    for i in range(len(ddl_rows) + 1)})
         else:
             # per-table dispatch from one interleaved log
             # (MySqlRecordConsumer.java:199-206): DML routes on
             # table_name; a table's DDL only splits ITS segments; each
             # table applies ITS OWN blacklists and column projection.
+            per_table: dict[str, list[tuple[int, str]]] = {}
+            skipped: dict[str, int] = {}
             for tname, cfg in self.tables.items():
-                t_dml = dml.filter(F.col("table_name") == tname)
                 t_all = [(lsn, a, dj) for lsn, a, dj, tn in tbl_ddls
                          if tn == tname]
-                t_ddls = [(lsn, dj) for lsn, a, dj in t_all
-                          if a not in cfg["ddl_blacklist"]]
+                per_table[tname] = [(lsn, dj) for lsn, a, dj in t_all
+                                    if a not in cfg["ddl_blacklist"]]
+                skipped[tname] = len(t_all) - len(per_table[tname])
+            # r3 directive #9: one grouped agg for EVERY table's every
+            # segment — per-epoch driver job count flat in table count
+            grouped = self._grouped_segment_lineage(
+                dml, [(tname, [b for b, _ in per_table[tname]],
+                       cfg["dml_blacklist"])
+                      for tname, cfg in self.tables.items()])
+            for tname, cfg in self.tables.items():
+                t_dml = dml.filter(F.col("table_name") == tname)
+                t_ddls = per_table[tname]
                 out += self._apply_table_log(
                     cfg["path"], t_dml, t_ddls, epoch_id, plin,
-                    len(t_all) - len(t_ddls), seg_prefix=f"{tname}.",
+                    skipped[tname], seg_prefix=f"{tname}.",
                     dml_blacklist=cfg["dml_blacklist"],
-                    columns=cfg["columns"])
+                    columns=cfg["columns"],
+                    seg_lineage={i: grouped.get((tname, i), [])
+                                 for i in range(len(t_ddls) + 1)})
         # bound the mor segment-stack depth
         if (self.compact_every and isinstance(epoch_id, int)
                 and epoch_id > 0 and epoch_id % self.compact_every == 0):
@@ -495,7 +572,9 @@ class CDCPipeline:
                          epoch_id: int | str, plin: list[dict],
                          ddl_skipped: int, seg_prefix: str,
                          dml_blacklist: set[str] | None = None,
-                         columns: list[str] | None = None) -> list[dict]:
+                         columns: list[str] | None = None,
+                         seg_lineage: dict[int, list[dict]] | None = None
+                         ) -> list[dict]:
         """Apply one table's DML+DDL slice of the batch: split at DDL
         boundaries, merge each segment as its own fenced sub-epoch,
         apply each DDL transactionally between segments (A4)."""
@@ -511,7 +590,7 @@ class CDCPipeline:
         out = []
         # half-open segments [lo, hi): a DML sharing the DDL's lsn applies
         # in the NEXT segment (after the DDL) — deterministic, never lost.
-        for seg_id, lo_b, hi_b, ddls in segments:
+        for seg_idx, (seg_id, lo_b, hi_b, ddls) in enumerate(segments):
             seg = dml
             if lo_b is not None:
                 seg = seg.filter(F.col("lsn") >= lo_b)
@@ -526,9 +605,13 @@ class CDCPipeline:
             if seg_id not in table.committed_epochs() and not table.is_dropped:
                 d = self._decoded(seg, dml_blacklist=dml_blacklist,
                                   columns=columns)
-                if boundaries or seg_prefix:
-                    # DDL-split or multi-table slice: the batch-level
-                    # audit can't attribute rows; re-aggregate.
+                if seg_lineage is not None:
+                    # pre-folded by _grouped_segment_lineage (one job for
+                    # ALL tables/segments of the epoch)
+                    seg_lin = seg_lineage.get(seg_idx, [])
+                elif boundaries or seg_prefix:
+                    # DDL-split or multi-table slice without a fold (not
+                    # reachable from apply_batch; direct callers)
                     seg_lin = partition_lineage(d, op_col="op_type")
                 else:
                     seg_lin = plin

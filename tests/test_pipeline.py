@@ -424,3 +424,74 @@ def test_binary_handling_hex_e2e(spark, sf_dir, tmp_path):
       from w where rn = 1 and op != 'd' order by url
     """).df()
     assert got2.reset_index(drop=True).equals(oracle2.reset_index(drop=True))
+
+
+def test_multi_table_lineage_folds_into_one_job(spark, sf_dir, tmp_path,
+                                                monkeypatch):
+    """r3 directive #9: per-epoch lineage for ALL tables/segments comes
+    from ONE grouped agg (no partition_lineage job per table), its rows
+    match the per-slice reference, and the per-epoch driver job count
+    grows only by the per-table merge jobs (flat lineage cost)."""
+    import database_delta_plugins_spark.streaming.pipeline as P
+    from database_delta_plugins_spark.plans.lineage import partition_lineage
+    from database_delta_plugins_spark.sources.generator import rich_events_df
+
+    base = rich_events_df(spark, sf_dir, revs=2, with_html=False)
+    names = ["t0", "t1", "t2", "t3"]
+    parts = [base.withColumn("table_name", F.lit(nm))
+             .withColumn("lsn", F.col("lsn") + i) for i, nm in enumerate(names)]
+    log = str(tmp_path / "log_fold")
+    u = parts[0]
+    for x in parts[1:]:
+        u = u.unionByName(x)
+    u.repartitionByRange(4, "lsn").write.parquet(log)
+
+    fold_calls = []
+    orig_fold = P.CDCPipeline._grouped_segment_lineage
+
+    def spy_fold(self, dml, specs):
+        r = orig_fold(self, dml, specs)
+        fold_calls.append(r)
+        return r
+
+    monkeypatch.setattr(P.CDCPipeline, "_grouped_segment_lineage", spy_fold)
+    pl_calls = []
+    monkeypatch.setattr(
+        P, "partition_lineage",
+        lambda *a, **k: pl_calls.append(1) or partition_lineage(*a, **k))
+
+    def run(n_tables, tag):
+        pipe = P.CDCPipeline(
+            spark, log, str(tmp_path / f"unused_{tag}"),
+            str(tmp_path / f"c_fold_{tag}"), num_buckets=2,
+            compact_every=0,
+            tables={nm: str(tmp_path / f"fold_{tag}_{nm}")
+                    for nm in names[:n_tables]})
+        sc = spark.sparkContext
+        sc.setJobGroup(f"fold-{tag}", "lineage fold test")
+        try:
+            pipe.apply_log_batch(spark.read.parquet(log))
+        finally:
+            sc.setJobGroup(None, None)
+        jobs = len(sc.statusTracker().getJobIdsForGroup(f"fold-{tag}"))
+        return pipe, jobs
+
+    p2, j2 = run(2, "a")
+    assert len(fold_calls) == 1      # ONE grouped agg for the whole epoch
+    assert not pl_calls              # never a per-segment lineage job
+    # folded rows match the independent per-slice reference
+    ev = spark.read.parquet(log)
+    for rec in p2.epoch_lineage:
+        tname = rec["table"].split("_")[-1] if "table" in rec else None
+        got = sum(p["rows"] for p in rec["partition_lineage"])
+        exp = ev.filter((F.col("op") != "ddl")
+                        & (F.col("table_name") == tname)).count()
+        assert got == exp, rec
+
+    fold_calls.clear()
+    p1, j1 = run(1, "b")
+    fold_calls.clear()
+    p4, j4 = run(4, "c")
+    # driver jobs grow ONLY by the per-table merge jobs: same slope
+    # 1->2 as 2->4 per table (lineage contributes zero per-table jobs)
+    assert j4 - j2 == 2 * (j2 - j1), (j1, j2, j4)
