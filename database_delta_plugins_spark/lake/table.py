@@ -1244,6 +1244,71 @@ class LakeTable:
         return {"buckets_compacted": over, "version": new_version,
                 "purged_tombstones": purged}
 
+    def rebucket(self, new_num_buckets: int) -> dict:
+        """Rewrite the table to a new bucket count as ONE fenced commit —
+        the Iceberg partition-spec-evolution analogue for the bucket
+        transform (r3 directive #10). A table created at 16 buckets that
+        grew to 10^10 rows can move to 512 without losing snapshots:
+        old versions pin their own num_buckets + manifests and keep
+        time-traveling; epoch fencing records survive (replay of an
+        already-committed epoch stays a no-op); tombstones and
+        (_lsn,_seq) ride through, so late arrivals still lose LWW.
+
+        The rewrite itself is one full-table pass (read LWW-resolved
+        state -> hash on the new bucket expr -> partitioned write), the
+        same cost class as a full compaction; changes() windows spanning
+        the rebucket are safe — rewritten rows sit at-or-below the lsn
+        frontier of any pre-rebucket snapshot and are filtered exactly
+        like compaction artifacts."""
+        new_num_buckets = int(new_num_buckets)
+        if new_num_buckets < 1:
+            raise ValueError(f"num_buckets must be >= 1, got {new_num_buckets}")
+        if new_num_buckets == self.num_buckets:
+            return {"rebucketed": False, "num_buckets": self.num_buckets,
+                    "version": self.version}
+        old_num_buckets = self.num_buckets
+        df = self.scan()  # LWW-resolved, tombstones included
+        df = df.withColumn(
+            "_bucket",
+            F.pmod(F.xxhash64(F.col(self.key)), F.lit(new_num_buckets)).cast("int"))
+        new_version = self.version + 1
+        commit_rel = f"data/rebucket-{new_version}-{uuid.uuid4().hex[:8]}"
+        commit_dir = f"{self.path}/{commit_rel}"
+        (
+            df.repartition(new_num_buckets, "_bucket")
+            .write.partitionBy("_bucket")
+            .mode("errorifexists")
+            .parquet(commit_dir)
+        )
+        per_bucket, affected = self._bucket_stats_from_footers(commit_dir)
+        snap = json.loads(json.dumps(self.snap))
+        snap["num_buckets"] = new_num_buckets
+        snap["buckets"] = {}
+        for b in affected:
+            bdir = f"{commit_dir}/_bucket={b}"
+            files = sorted(
+                f"{commit_rel}/_bucket={b}/{fn}"
+                for fn in (os.listdir(bdir) if os.path.isdir(bdir) else [])
+                if fn.endswith(".parquet")
+            )
+            st = per_bucket[int(b)]
+            snap["buckets"][str(b)] = self._write_manifest(new_version, b, [{
+                "files": files,
+                "schema_id": snap["current_schema_id"],
+                "rows": st["rows"],
+                "min_lsn": st["min_lsn"],
+                "max_lsn": st["max_lsn"],
+            }])
+        snap["version"] = new_version
+        self._write_snapshot(snap)
+        self._append_lineage({
+            "epoch_id": None, "committed_version": new_version,
+            "rebucket": {"from": old_num_buckets, "to": new_num_buckets},
+            "ts_ms": int(time.time() * 1000),
+        })
+        return {"rebucketed": True, "num_buckets": new_num_buckets,
+                "version": new_version}
+
     def expire_snapshots(self, keep_last: int = 3) -> dict:
         """Delete data files and metadata unreferenced by the most recent
         ``keep_last`` snapshots (time travel beyond that horizon stops

@@ -365,3 +365,53 @@ def test_commit_metadata_is_o_touched_buckets(spark, tmp_path):
     # state stays correct through it all
     assert {r["url"]: r["text"] for r in t.read().collect()}["u0"] == "w8"
     assert t.read().count() == 512
+
+
+def test_rebucket(spark, tmp_path):
+    """r3 directive #10: rebucket 4 -> 16 as a fenced commit — state
+    identical, old snapshots time-travel with their own layout, CDF
+    windows across the rebucket stay artifact-free, epoch replay stays
+    fenced, and new merges route on the new bucket expr."""
+    t = _mk_mor(spark, tmp_path, "t_rb", num_buckets=4)
+    t.merge(_upd(spark, [("a", "v1", "en", "I", 1, 0),
+                         ("b", "w1", "de", "I", 2, 0),
+                         ("c", "x1", "fr", "I", 3, 0)]), epoch_id=1)
+    t = t.refresh()
+    t.merge(_upd(spark, [("a", "v2", "en", "U", 4, 0),
+                         ("b", None, None, "D", 5, 0)]), epoch_id=2)
+    t = t.refresh()
+    v_pre = t.version
+    state_pre = t.read().orderBy("url").collect()
+
+    res = t.rebucket(16)
+    assert res["rebucketed"] and res["num_buckets"] == 16
+    t = t.refresh()
+    assert t.num_buckets == 16
+    assert t.read().orderBy("url").collect() == state_pre
+    # tombstone survived the rewrite with its lsn
+    dead = t.scan().filter(F.col("_is_deleted")).collect()
+    assert len(dead) == 1 and dead[0]["url"] == "b" and dead[0]["_lsn"] == 5
+
+    # time travel: the pre-rebucket snapshot still reads (old manifests)
+    assert t.read(version=v_pre).orderBy("url").collect() == state_pre
+
+    # CDF across the rebucket: only genuinely-new rows appear (rewrite
+    # artifacts are filtered by the lsn frontier)
+    v_rb = t.version
+    t.merge(_upd(spark, [("d", "y1", "es", "I", 6, 0)]), epoch_id=3)
+    t = t.refresh()
+    assert [r["url"] for r in t.changes(v_pre).collect()] == ["d"]
+    assert [r["url"] for r in t.changes(v_rb).collect()] == ["d"]
+
+    # replay of a pre-rebucket epoch stays fenced
+    rec = t.merge(_upd(spark, [("a", "STALE", "en", "U", 99, 0)]), epoch_id=2)
+    assert rec["skipped_replay"]
+    assert t.refresh().read().filter("url = 'a'").head()["text"] == "v2"
+
+    # new keys route on the 16-bucket expr (scan pruning agrees)
+    t = t.refresh()
+    b_d = t.bucket_expr(F.lit("d"))
+    bd = spark.range(1).select(b_d.alias("b")).head()["b"]
+    assert {r["url"] for r in t.scan(buckets=[bd]).collect()} >= {"d"}
+    # no-op path
+    assert t.rebucket(16)["rebucketed"] is False
