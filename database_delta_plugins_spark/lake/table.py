@@ -760,36 +760,16 @@ class LakeTable:
             upd = upd.persist()
             upd_persisted = upd
             t0 = time.time()
-            affected = [r["_bucket"] for r in upd.select("_bucket").distinct().collect()]
+            brows = upd.groupBy("_bucket").agg(
+                F.count(F.lit(1)).alias("n")).collect()
+            affected = [r["_bucket"] for r in brows]
+            n_upd = sum(int(r["n"]) for r in brows)
             t_lww = time.time() - t0
             tgt = self.scan(buckets=affected).withColumnRenamed(key, "_t_key")
-            result = None
-
-        if result is None:
-            u, t = upd.alias("u"), tgt.alias("t")
-            j = u.join(t, F.col(f"u.{key}") == F.col("t._t_key"), "full_outer")
-
-            u_newer = (
-                F.col("t._t_key").isNull()
-                | (F.col("u._u_lsn") > F.col("t._lsn"))
-                | ((F.col("u._u_lsn") == F.col("t._lsn")) & (F.col("u._u_seq") >= F.col("t._seq")))
-            )
-            take_u = F.col(f"u.{key}").isNotNull() & u_newer
-
-            result = j.select(
-                F.when(take_u, F.col(f"u.{key}")).otherwise(F.col("t._t_key")).alias(key),
-                *[
-                    F.when(take_u, F.col(f"u.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
-                    for c in payload_names if c != key
-                ],
-                F.when(take_u, F.col("u._u_lsn")).otherwise(F.col("t._lsn")).alias("_lsn"),
-                F.when(take_u, F.col("u._u_seq")).otherwise(F.col("t._seq")).alias("_seq"),
-                F.when(take_u, F.col("u._u_deleted")).otherwise(F.col("t._is_deleted")).alias("_is_deleted"),
-                F.when(take_u, F.col("u._u_ingest_ms")).otherwise(F.col("t._ingest_ms")).alias("_ingest_ms"),
-                take_u.alias("_took_update"),
-                (F.col(f"u.{key}").isNotNull() & F.col("t._t_key").isNotNull()).alias("_matched"),
-            )
-            result = result.withColumn("_bucket", self.bucket_expr(F.col(key)))
+            limit = int(self.snap.get("properties", {}).get(
+                "mor_resolve_broadcast_rows", 4_000_000))
+            result = self._cow_merge_result(upd, tgt, key, payload_names,
+                                            broadcast_keys=n_upd <= limit)
         result = result.persist()
         try:
             t0 = time.time()
@@ -847,6 +827,57 @@ class LakeTable:
             phase_sec={"lww": round(t_lww, 2), "join_stats": round(t_join, 2),
                        "write": round(t_write, 2)},
             extra_lineage=extra_lineage, append_segments=False)
+
+    def _cow_merge_result(self, upd: DataFrame, tgt: DataFrame, key: str,
+                          payload_names: list[str],
+                          broadcast_keys: bool) -> DataFrame:
+        """Build the cow post-merge bucket contents (r3: late-materialized
+        like the mor read resolve). With ``broadcast_keys`` (update winner
+        set under the broadcast budget — the common case; post-LWW keys
+        are unique), the affected buckets' UNTOUCHED rows take a
+        broadcast ANTI join and never enter a join shuffle — only the
+        O(batch) touched rows and the updates meet in the full_outer
+        merge join. The one remaining payload-wide movement is the write
+        repartition itself. Fallback (huge batch): the plain full_outer
+        over the whole affected-bucket scan."""
+        u = upd.alias("u")
+        untouched = None
+        if broadcast_keys:
+            keys = F.broadcast(upd.select(F.col(key).alias("_t_key")))
+            untouched = tgt.join(keys, "_t_key", "left_anti")
+            tgt = tgt.join(keys, "_t_key", "semi")
+        t = tgt.alias("t")
+        j = u.join(t, F.col(f"u.{key}") == F.col("t._t_key"), "full_outer")
+        u_newer = (
+            F.col("t._t_key").isNull()
+            | (F.col("u._u_lsn") > F.col("t._lsn"))
+            | ((F.col("u._u_lsn") == F.col("t._lsn")) & (F.col("u._u_seq") >= F.col("t._seq")))
+        )
+        take_u = F.col(f"u.{key}").isNotNull() & u_newer
+        result = j.select(
+            F.when(take_u, F.col(f"u.{key}")).otherwise(F.col("t._t_key")).alias(key),
+            *[
+                F.when(take_u, F.col(f"u.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+                for c in payload_names if c != key
+            ],
+            F.when(take_u, F.col("u._u_lsn")).otherwise(F.col("t._lsn")).alias("_lsn"),
+            F.when(take_u, F.col("u._u_seq")).otherwise(F.col("t._seq")).alias("_seq"),
+            F.when(take_u, F.col("u._u_deleted")).otherwise(F.col("t._is_deleted")).alias("_is_deleted"),
+            F.when(take_u, F.col("u._u_ingest_ms")).otherwise(F.col("t._ingest_ms")).alias("_ingest_ms"),
+            take_u.alias("_took_update"),
+            (F.col(f"u.{key}").isNotNull() & F.col("t._t_key").isNotNull()).alias("_matched"),
+        )
+        result = result.withColumn("_bucket", self.bucket_expr(F.col(key)))
+        if untouched is not None:
+            un = untouched.select(
+                F.col("_t_key").alias(key),
+                *[F.col(c) for c in payload_names if c != key],
+                "_lsn", "_seq", "_is_deleted", "_ingest_ms",
+                F.lit(False).alias("_took_update"),
+                F.lit(False).alias("_matched"),
+            ).withColumn("_bucket", self.bucket_expr(F.col(key)))
+            result = result.unionByName(un)
+        return result
 
     def _merge_mor_commit(self, upd: DataFrame, key: str,
                           payload_names: list[str], eid: str | None,

@@ -311,3 +311,46 @@ def test_mor_scan_payload_never_shuffled(spark, tmp_path):
     assert "BroadcastHashJoin" not in plan2
     state2 = {r["url"]: (r["text"], r["_lsn"]) for r in df2.collect()}
     assert state2 == state
+
+
+def test_cow_merge_untouched_rows_broadcast_anti(spark, tmp_path):
+    """r3: the cow merge joins updates only against TOUCHED target rows —
+    untouched rows of affected buckets ride a broadcast anti join
+    (map-side, no join shuffle); the fallback (broadcast budget 0) keeps
+    the plain full_outer and produces the identical state."""
+    rows0 = [(f"k{i}", f"v{i}", "en", "I", i + 1, 0) for i in range(50)]
+    upd1 = [("k0", "V0", "en", "U", 100, 0), ("k1", None, None, "D", 101, 0),
+            ("new", "n1", "de", "I", 102, 0)]
+
+    def _fill(name, **props):
+        t = LakeTable.create(spark, str(tmp_path / name), SCHEMA, key="url",
+                             num_buckets=4, properties=props or None)
+        t.merge(_upd(spark, rows0), epoch_id=1)
+        t = t.refresh()
+        rec = t.merge(_upd(spark, upd1), epoch_id=2)
+        return t.refresh(), rec
+
+    t, rec = _fill("t_cowb")
+    assert rec["conflicts_lost"] == 0 and rec["rows_updated"] == 2
+    state = {r["url"]: r["text"] for r in t.read().collect()}
+    assert state["k0"] == "V0" and "k1" not in state and state["new"] == "n1"
+    assert len(state) == 50  # 49 originals + new
+
+    # plan shape: anti/semi of target vs broadcast keys
+    upd_shaped = _upd(spark, upd1).select(
+        "url", "text", "lang",
+        F.col("lsn").alias("_u_lsn"), F.col("seq").alias("_u_seq"),
+        (F.col("op_type") == "D").alias("_u_deleted"),
+        F.lit(None).cast("long").alias("_u_ingest_ms"),
+    ).withColumn("_bucket", t.bucket_expr(F.col("url")))
+    res = t._cow_merge_result(upd_shaped, t.scan().withColumnRenamed("url", "_t_key"),
+                              "url", ["url", "text", "lang"], broadcast_keys=True)
+    plan = _formatted_plan(res)
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan and ("LeftSemi" in plan or "Semi" in plan)
+
+    # fallback path: budget 0 -> full_outer over the scan, same state
+    t2, rec2 = _fill("t_cowf", mor_resolve_broadcast_rows=0)
+    assert {r["url"]: r["text"] for r in t2.read().collect()} == state
+    assert rec2["rows_updated"] == rec["rows_updated"]
+    assert rec2["tombstones"] == rec["tombstones"]
