@@ -193,6 +193,31 @@ def main():
                    "BroadcastHashJoin" in p9))
     _sh.rmtree(mordir, ignore_errors=True)
 
+    # 10. cow merge: untouched target rows ride a broadcast ANTI join
+    # (map-side) — only touched rows meet the updates in the merge join.
+    cowdir = _tf.mkdtemp(prefix="audit_cow_")
+    _sh.rmtree(cowdir)
+    ct = LakeTable.create(spark, cowdir, mschema, key="url", num_buckets=4)
+    ct.merge(spark.createDataFrame(
+        [(f"k{i}", f"v{i}", "I", i + 1, 0) for i in range(20)], mupd),
+        epoch_id=1)
+    ct = ct.refresh()
+    upd10 = spark.createDataFrame(
+        [("k0", "V0", "U", 100, 0)], mupd).select(
+        "url", "text",
+        F.col("lsn").alias("_u_lsn"), F.col("seq").alias("_u_seq"),
+        (F.col("op_type") == "D").alias("_u_deleted"),
+        F.lit(None).cast("long").alias("_u_ingest_ms"),
+    ).withColumn("_bucket", ct.bucket_expr(F.col("url")))
+    q10 = ct._cow_merge_result(
+        upd10, ct.scan().withColumnRenamed("url", "_t_key"),
+        "url", ["url", "text"], broadcast_keys=True)
+    p10 = plan_of(q10)
+    sections.append(("cow merge: broadcast-anti untouched rows", q10, p10))
+    checks.append(("cow merge: untouched rows broadcast-anti (no join shuffle)",
+                   "BroadcastHashJoin" in p10 and "LeftAnti" in p10))
+    _sh.rmtree(cowdir, ignore_errors=True)
+
     with open(_os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write("# EXPLAIN audit — hot-path physical plans\n\n")
         f.write("Checks:\n\n")
