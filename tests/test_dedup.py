@@ -132,3 +132,24 @@ def test_connected_components_long_path_pointer_jumping(spark):
     # and non-convergence is now a signal, not silence
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iter=2)
+
+
+def test_simhash_arrow_impl_matches_catalyst(spark, sf_dir):
+    """The Arrow (numpy-batch) fingerprint kernel is bit-identical to
+    the pure-Catalyst expression — same candidates, same hamming."""
+    from database_delta_plugins_spark.operators.dedup import (
+        simhash64,
+        simhash64_arrow,
+        simhash_candidates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    both = docs.select(
+        "doc_id",
+        simhash64(F.col("text")).alias("fp_c"),
+        simhash64_arrow(F.col("text")).alias("fp_a"),
+    )
+    assert both.filter(~F.col("fp_c").eqNullSafe(F.col("fp_a"))).count() == 0
+    a = {tuple(r) for r in simhash_candidates(docs, impl="arrow").collect()}
+    c = {tuple(r) for r in simhash_candidates(docs, impl="catalyst").collect()}
+    assert a == c and a
