@@ -91,6 +91,40 @@ def minhash_signature(df: DataFrame, shingle_col: str = "shingles",
     return df.withColumn(out, sig).drop("_sh")
 
 
+def minhash_signature_arrow(df: DataFrame, shingle_col: str = "shingles",
+                            out: str = "minhash") -> DataFrame:
+    """MinHash signature, Arrow-vectorized (same pattern as
+    ``simhash64_arrow``): shingles are hashed JVM-side (xxhash64 in the
+    plan), the 64 permutation-mins run as one numpy batch kernel —
+    (total_shingles × 64) broadcast multiply-add mod p, then a
+    minimum.reduceat per doc. Bit-identical to ``minhash_signature``
+    (identical modular arithmetic; products < 2^62 so int64-exact)."""
+
+    @pandas_udf("array<long>")
+    def _sig(hs: pd.Series) -> pd.Series:
+        lens = hs.map(lambda a: 0 if a is None else len(a)).to_numpy()
+        valid = lens > 0
+        out_arr = np.empty(len(hs), dtype=object)
+        out_arr[~valid] = None
+        if valid.any():
+            flat = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in hs[valid]])
+            A = np.asarray(_AS, dtype=np.int64)
+            B = np.asarray(_BS, dtype=np.int64)
+            perm = (flat[:, None] * A[None, :] + B[None, :]) % _MERSENNE
+            offsets = np.zeros(int(valid.sum()), dtype=np.int64)
+            np.cumsum(lens[valid][:-1], out=offsets[1:])
+            sigs = np.minimum.reduceat(perm, offsets, axis=0)
+            vi = np.flatnonzero(valid)
+            for j, i in enumerate(vi):
+                out_arr[i] = sigs[j]
+        return pd.Series(out_arr)
+
+    hashed = F.transform(F.col(shingle_col),
+                         lambda s: F.abs(F.xxhash64(s)) % _MERSENNE)
+    return df.withColumn(out, _sig(hashed))
+
+
 def _cap_postings(postings: DataFrame, bucket_cols: list[str],
                   cap: int | None) -> DataFrame:
     """Production skew guard: keep only the ``cap`` smallest ids per
@@ -173,16 +207,22 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     max_bucket: int = 50,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, exact jaccard >= threshold).
 
     bands×rows decomposition of the 64-signature; a pair colliding in any
     band becomes a candidate; exact shingle Jaccard verifies. Bucket-size
     cap bounds the quadratic within-bucket join against boilerplate skew.
+    ``impl``: 'arrow' (default — numpy batch signature kernel) or
+    'catalyst' (pure-JVM exprs); identical signatures either way.
     """
+    if impl not in ("arrow", "catalyst"):
+        raise ValueError(f"impl must be arrow|catalyst, got {impl!r}")
     rows_per_band = _N_MINHASH // bands
     base = _shingle_base(df, id_col, text_col, n)
-    sigs = minhash_signature(base)
+    sigs = (minhash_signature_arrow if impl == "arrow"
+            else minhash_signature)(base)
     bandrows = sigs.select(
         "id",
         F.posexplode(

@@ -153,3 +153,28 @@ def test_simhash_arrow_impl_matches_catalyst(spark, sf_dir):
     a = {tuple(r) for r in simhash_candidates(docs, impl="arrow").collect()}
     c = {tuple(r) for r in simhash_candidates(docs, impl="catalyst").collect()}
     assert a == c and a
+
+
+def test_minhash_arrow_impl_matches_catalyst(spark, sf_dir):
+    """Arrow signature kernel == Catalyst exprs (exact modular math),
+    and the full pair pipeline agrees across impls."""
+    from database_delta_plugins_spark.operators.dedup import (
+        _shingle_base,
+        minhash_lsh_pairs,
+        minhash_signature,
+        minhash_signature_arrow,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = _shingle_base(docs, "doc_id", "text", 3)
+    both = (
+        minhash_signature(base).select("id", F.col("minhash").alias("mc"))
+        .join(minhash_signature_arrow(base)
+              .select("id", F.col("minhash").alias("ma")), "id")
+    )
+    assert both.filter(F.col("mc") != F.col("ma")).count() == 0
+    a = {tuple(r) for r in
+         minhash_lsh_pairs(docs, threshold=0.3, impl="arrow").collect()}
+    c = {tuple(r) for r in
+         minhash_lsh_pairs(docs, threshold=0.3, impl="catalyst").collect()}
+    assert a == c and a
