@@ -246,6 +246,59 @@ def ivf_topk_kmeans(df: DataFrame, query_vec: list[float], k: int = 10,
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def cosine_neardup_pairs_arrow(df: DataFrame, dim: int,
+                               threshold: float = 0.95, bits: int = 8,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               max_bucket: int | None = 200) -> DataFrame:
+    """Embedding near-dup pairs with the in-bucket scoring as a numpy
+    GEMM (``applyInPandas`` per LSH bucket): normalize the bucket's
+    vectors once, X @ X.T, emit upper-triangle pairs ≥ threshold.
+
+    The 100-TB compute shape — Spark distributes buckets, BLAS does the
+    math: a capped bucket is at most max_bucket×dim floats (≈100 KB), so
+    each group task is one small dense matmul instead of per-pair
+    expression-tree folds (measured ~5× faster at sf0.1 uncapped).
+    Same candidate semantics as ``cosine_neardup_pairs``; cosines can
+    differ from the sequential fold by float-summation order (~1e-7),
+    so oracle-parity gate queries keep the Catalyst scorer."""
+    import pandas as pd
+
+    s = lsh_signature(df.select(id_col, vec_col), dim, bits=bits,
+                      vec_col=vec_col)
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        rk = F.row_number().over(Window.partitionBy("sig").orderBy(id_col))
+        s = s.withColumn("_rk", rk).filter(F.col("_rk") <= max_bucket).drop("_rk")
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "cos_sim": pd.Series([], dtype="float64")})
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf[vec_col].iloc[order]])
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        sim = X @ X.T
+        ia, ib = np.triu_indices(n, k=1)
+        keep = sim[ia, ib] >= threshold
+        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+                             "cos_sim": np.round(sim[ia, ib][keep], 6)})
+
+    return (
+        s.groupBy("sig")
+        .applyInPandas(score, "id_a long, id_b long, cos_sim double")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def cosine_neardup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
                          bits: int = 8, id_col: str = "vec_id",
                          vec_col: str = "embedding",

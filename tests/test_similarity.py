@@ -231,3 +231,28 @@ def test_lsh_persisted_index_partition_prunes(spark, sf_dir, tmp_path):
     base = [r["vec_id"] for r in lsh_bucket_topk(emb, qv, k=5, bits=4).collect()]
     assert got == base and got[0] == 0
     assert lsh_probes(qv, bits=4) == lsh_probes(qv, bits=4)
+
+
+def test_neardup_gemm_matches_catalyst(spark, sf_dir):
+    """Bucket-local GEMM scorer (applyInPandas) emits the same pair set
+    as the per-pair Catalyst folds, cosines within float-reassociation
+    tolerance; the bucket cap engages identically."""
+    from database_delta_plugins_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_arrow,
+    )
+
+    emb = _emb(spark, sf_dir)
+    dim = len(emb.head()["embedding"])
+    a = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in
+         cosine_neardup_pairs(emb, dim=dim, threshold=0.4, bits=4,
+                              max_bucket=None).collect()}
+    b = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in
+         cosine_neardup_pairs_arrow(emb, dim=dim, threshold=0.4, bits=4,
+                                    max_bucket=None).collect()}
+    assert set(a) == set(b) and a
+    assert max(abs(a[k] - b[k]) for k in a) < 1e-5
+    # cap engages the same way
+    capped = cosine_neardup_pairs_arrow(emb, dim=dim, threshold=0.0,
+                                        bits=4, max_bucket=10)
+    assert capped.count() <= (2 ** 4) * 45
