@@ -354,3 +354,38 @@ def test_cow_merge_untouched_rows_broadcast_anti(spark, tmp_path):
     assert {r["url"]: r["text"] for r in t2.read().collect()} == state
     assert rec2["rows_updated"] == rec["rows_updated"]
     assert rec2["tombstones"] == rec["tombstones"]
+
+
+def test_v2_inline_snapshot_reads_and_upgrades(spark, tmp_path):
+    """Back-compat: a format_version-2 snapshot (inline per-bucket
+    segment lists, pre-manifest-sharding) still reads, merges, compacts
+    — touched buckets upgrade to manifest pointers on their next commit,
+    untouched inline entries keep working side by side."""
+    t = _mk(spark, tmp_path, "t_v2", write_mode="mor")
+    t.merge(_upd(spark, [("a", "v1", "en", "I", 1, 0),
+                         ("b", "w1", "de", "I", 2, 0),
+                         ("c", "x1", "fr", "I", 3, 0)]), epoch_id=1)
+    t = t.refresh()
+    # rewrite the head snapshot in legacy inline form
+    snap = json.loads(json.dumps(t.snap))
+    snap["format_version"] = 2
+    snap["buckets"] = {b: {"segments": t._segments_of(info)}
+                       for b, info in t.snap["buckets"].items()}
+    snap["version"] += 1
+    t._write_snapshot(snap)
+    t = t.refresh()
+    assert all("segments" in i for i in t.snap["buckets"].values())
+    assert {r["url"] for r in t.read().collect()} == {"a", "b", "c"}
+
+    # a new commit touches one bucket -> that bucket gets a pointer,
+    # others stay inline; reads resolve the mixed state
+    t.merge(_upd(spark, [("a", "v2", "en", "U", 4, 0)]), epoch_id=2)
+    t = t.refresh()
+    kinds = {("manifest" in i) for i in t.snap["buckets"].values()}
+    assert kinds == {True, False} or kinds == {True}
+    state = {r["url"]: r["text"] for r in t.read().collect()}
+    assert state == {"a": "v2", "b": "w1", "c": "x1"}
+    # compaction folds the mixed stacks; CDF across it stays clean
+    t.compact(max_segments_per_bucket=1)
+    t = t.refresh()
+    assert {r["url"]: r["text"] for r in t.read().collect()} == state
