@@ -405,6 +405,71 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (r3 web-pipeline op): messy urls synthesized
+    deterministically from table columns (upper-case scheme/host, www.,
+    default and non-default ports, unsorted query params, fragments) are
+    canonicalized; the oracle mirrors every rule in SQL."""
+    from database_delta_plugins_spark.operators.text import canonicalize_url
+
+    d = _docs(spark, sf_dir)
+    messy = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("HTTPS://WWW."), F.upper(F.col("source")),
+                 F.lit(".Example.COM:443/p/"),
+                 F.col("doc_id").cast("string"), F.lit("?b=2&a=1#frag")),
+    ).otherwise(
+        F.concat(F.lit("http://Site-"), F.col("source"),
+                 F.lit(".org:8080"),
+                 F.when(F.col("doc_id") % 3 == 0,
+                        F.concat(F.lit("/x/"), F.col("doc_id").cast("string")))
+                 .otherwise(F.lit(""))),
+    )
+    return d.select(
+        "doc_id", messy.alias("url"),
+        canonicalize_url(messy).alias("canon_url"),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (r3): emails / IPv4s / phone runs synthesized into
+    the text, scrubbed to typed placeholders; the oracle applies the
+    identical RE2-safe patterns in the identical order."""
+    from database_delta_plugins_spark.operators.text import scrub_pii
+
+    d = _docs(spark, sf_dir)
+    synth = F.concat(
+        F.lit("reach "), F.col("lang"), F.col("doc_id").cast("string"),
+        F.lit("@"), F.col("source"), F.lit(".com or 10."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".0.1 tel +1 555 000 "),
+        (1000 + F.col("doc_id") % 9000).cast("string"), F.lit(" then "),
+        F.substring(F.col("text"), 1, 40),
+    )
+    return d.select("doc_id", scrub_pii(synth).alias("clean"))
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level line dedup (r3): every doc gets a per-source
+    NAV header and a global FOOTER line around its body; lines occurring
+    in more than one document are boilerplate and are dropped from all
+    docs, bodies rejoin in order. Oracle: SQL line explode -> document
+    frequency -> ordered re-aggregation."""
+    from database_delta_plugins_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    d = _docs(spark, sf_dir)
+    synth = F.concat(
+        F.lit("NAV "), F.col("source"), F.lit("\n"),
+        F.substring(F.col("text"), 1, 60), F.lit("\n"),
+        F.lit("FOOTER common"),
+    )
+    out = remove_boilerplate_lines(
+        d.select("doc_id", synth.alias("text")), max_df=1)
+    return out.select("doc_id", "clean_text",
+                      F.col("n_removed").cast("long").alias("n_removed"))
+
+
 def q_text_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin-Karp-shaped rolling-hash fingerprint — order-sensitive and
     incremental, pure arithmetic on both engines (Catalyst aggregate vs
@@ -601,6 +666,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_stats": q_text_stats,
         "text_rolling_fp": q_text_rolling_fp,
+        "url_canonicalize": q_url_canonicalize,
+        "pii_scrub": q_pii_scrub,
+        "line_dedup": q_line_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "corpus_select": q_corpus_select,
@@ -962,6 +1030,86 @@ def oracle_sql() -> dict[str, str]:
             [CAST(ascii(x) AS HUGEINT) FOR x IN string_split_regex(lower(trim(text)), '')],
             (h, c) -> (h * 31 + c) % 2147483647
           ) AS BIGINT) AS rfp FROM documents
+        """,
+        "url_canonicalize": """
+          WITH m AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN
+                     'HTTPS://WWW.' || upper(source) || '.Example.COM:443/p/'
+                       || CAST(doc_id AS VARCHAR) || '?b=2&a=1#frag'
+                   ELSE
+                     'http://Site-' || source || '.org:8080'
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN '/x/' || CAST(doc_id AS VARCHAR)
+                               ELSE '' END
+                   END AS url
+            FROM documents
+          ), parts AS (
+            SELECT doc_id, url,
+              lower(coalesce(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
+              lower(coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')) AS hostport,
+              coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS rawpath,
+              coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS q
+            FROM m
+          ), norm AS (
+            SELECT doc_id, url, scheme,
+              regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''), '^www\\.', '') AS host,
+              coalesce(regexp_extract(hostport, ':([0-9]+)$', 1), '') AS port,
+              CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+              q,
+              array_to_string(list_sort(string_split(q, '&')), '&') AS sq
+            FROM parts
+          )
+          SELECT doc_id, url,
+                 scheme || '://' || host
+                 || CASE WHEN port != '' AND NOT (scheme = 'http' AND port = '80')
+                              AND NOT (scheme = 'https' AND port = '443')
+                         THEN ':' || port ELSE '' END
+                 || path
+                 || CASE WHEN q != '' THEN '?' || sq ELSE '' END AS canon_url
+          FROM norm
+        """,
+        "pii_scrub": """
+          WITH m AS (
+            SELECT doc_id,
+                   'reach ' || lang || CAST(doc_id AS VARCHAR) || '@' || source
+                   || '.com or 10.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.0.1 tel +1 555 000 '
+                   || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' then '
+                   || substr(text, 1, 40) AS synth
+            FROM documents
+          )
+          SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(synth,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                     '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                   '\\+?\\d[\\d()\\[\\] -]{7,}\\d', '<PHONE>', 'g') AS clean
+          FROM m
+        """,
+        "line_dedup": """
+          WITH m AS (
+            SELECT doc_id,
+                   'NAV ' || source || chr(10) || substr(text, 1, 60)
+                   || chr(10) || 'FOOTER common' AS synth
+            FROM documents
+          ), lines AS (
+            SELECT doc_id, u.line, u.ord
+            FROM m, LATERAL (
+              SELECT unnest(string_split(synth, chr(10))) AS line,
+                     generate_subscripts(string_split(synth, chr(10)), 1) AS ord
+            ) u
+          ), freq AS (
+            SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY 1
+          )
+          SELECT l.doc_id,
+                 coalesce(string_agg(l.line, chr(10) ORDER BY l.ord)
+                          FILTER (WHERE f.df <= 1), '') AS clean_text,
+                 count(*) FILTER (WHERE f.df > 1) AS n_removed
+          FROM lines l JOIN freq f USING (line)
+          GROUP BY l.doc_id
         """,
         "ngram_jaccard": jaccard,
         "corpus_select": f"""

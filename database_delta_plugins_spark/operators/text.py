@@ -132,3 +132,107 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("upper_ratio",
                     F.when(alpha > 0, upper / alpha).otherwise(F.lit(0.0)))
     )
+
+
+def canonicalize_url(url) -> F.Column:
+    """Web-pipeline URL canonicalization (r3) — the dedup key prep every
+    crawl ingest needs before url-keyed LWW: the same page crawled as
+    `HTTPS://WWW.Site.COM:443/a?b=2&a=1#x` and `https://site.com/a?a=1&b=2`
+    must collapse to one key. Deterministic, SQL-mirrorable rules:
+
+    * scheme and host lowercased; `www.` prefix stripped
+    * default ports dropped (`:80` for http, `:443` for https)
+    * fragment dropped
+    * query parameters sorted bytewise (split on `&`, array_sort, rejoin)
+    * empty path becomes `/`
+
+    Pure Catalyst (regexp_extract + array ops, codegen'd); the DuckDB
+    oracle mirrors each rule with regexp_extract/list_sort."""
+    u = url
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = F.regexp_replace(hostport, r":\d+$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        scheme, F.lit("://"), host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(query != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
+    )
+
+
+# PII patterns shared verbatim with the SQL oracle — RE2-safe (no
+# backreferences/lookaround, both Java regex and DuckDB RE2 accept them).
+# Applied in this exact order (email first so its digits are gone before
+# the phone pass).
+PII_RULES = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d()\[\] -]{7,}\d", "<PHONE>"),
+]
+
+
+def scrub_pii(text) -> F.Column:
+    """Training-data PII scrubbing: emails, IPv4 addresses and
+    phone-shaped digit runs replaced with typed placeholders — the
+    standard pre-training redaction pass. One chained regexp_replace
+    projection (codegen'd, global replacement); rule order is part of
+    the contract (see PII_RULES)."""
+    out = text
+    for pat, repl in PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def remove_boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text", max_df: int = 1,
+                             out: str = "clean_text") -> DataFrame:
+    """C4-style corpus-level line deduplication: a LINE occurring in more
+    than ``max_df`` distinct documents is boilerplate (nav headers,
+    cookie banners, footers) and is dropped from EVERY document; each
+    document's surviving lines rejoin in original order.
+
+    Spark-first shape: posexplode lines -> global line document-frequency
+    (hash agg, map-side combine) -> join frequencies back -> per-doc
+    ordered re-assembly via sort_array over (pos, line) structs. The
+    line-frequency relation is the only corpus-wide shuffle and it is
+    narrow (hash, count); returns (id, clean_text, n_removed)."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    freq = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("id").alias("_df"))
+    )
+    kept = (
+        lines.join(freq, "line")
+        .withColumn("_keep", F.col("_df") <= max_df)
+    )
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"),
+                                   F.struct(F.col("pos"), F.col("line"))))),
+                    lambda s: s.getField("line"),
+                ),
+                "\n",
+            ).alias(out),
+            F.sum((~F.col("_keep")).cast("long")).alias("n_removed"),
+        )
+        .select(F.col("id").alias(id_col), out, "n_removed")
+    )

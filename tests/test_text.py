@@ -72,3 +72,51 @@ def test_text_stats_signals(spark):
     assert got[2]["upper_ratio"] == 1.0
     assert got[3]["stopword_ratio"] == 0.0
     assert got[4]["punct_ratio"] == 0.0 and got[4]["stopword_ratio"] == 0.0
+
+
+def test_canonicalize_url_rules(spark):
+    from database_delta_plugins_spark.operators.text import canonicalize_url
+
+    cases = [
+        ("HTTPS://WWW.Site.COM:443/a?b=2&a=1#x", "https://site.com/a?a=1&b=2"),
+        ("http://site.com:80", "http://site.com/"),
+        ("http://site.com:8080/p", "http://site.com:8080/p"),
+        ("https://www.a.b.c/path/?z=1", "https://a.b.c/path/?z=1"),
+        ("http://Host.org", "http://host.org/"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url: string")
+    got = [r["c"] for r in
+           df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_scrub_pii_cases(spark):
+    from database_delta_plugins_spark.operators.text import scrub_pii
+
+    cases = [
+        ("mail a.b+c@ex-ample.co.uk now", "mail <EMAIL> now"),
+        ("ip 192.168.0.1 end", "ip <IP> end"),
+        ("call +1 (555) 010-9999 ok", "call <PHONE> ok"),
+        ("clean text stays", "clean text stays"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "t: string")
+    got = [r["c"] for r in df.select(scrub_pii(F.col("t")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_remove_boilerplate_lines(spark):
+    from database_delta_plugins_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    docs = [
+        (1, "NAV\nbody one\nFOOTER"),
+        (2, "NAV\nbody two\nFOOTER"),
+        (3, "solo page\nFOOTER"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    out = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+           for r in remove_boilerplate_lines(df, max_df=1).collect()}
+    assert out[1] == ("body one", 2)
+    assert out[2] == ("body two", 2)
+    assert out[3] == ("solo page", 1)
