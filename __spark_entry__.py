@@ -470,6 +470,32 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_removed").cast("long").alias("n_removed"))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (r3): docs 0-19 act as the eval set;
+    corpus docs (id >= 20) sharing any word 5-gram with it are flagged
+    with their overlap count. Oracle: SQL shingle explode + semi join."""
+    from database_delta_plugins_spark.operators.dedup import decontaminate
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") < 20)
+    corpus = d.filter(F.col("doc_id") >= 20)
+    out = decontaminate(corpus, bench, n=5)
+    return out.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"),
+                      "sample_ngram")
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling (r3): per-source acceptance rates
+    via a multiplicative id hash — reproducible down-sampling for corpus
+    composition. Oracle mirrors the arithmetic exactly."""
+    from database_delta_plugins_spark.operators.dedup import sample_by_source
+
+    d = _docs(spark, sf_dir)
+    out = sample_by_source(
+        d, {"src0": 1.0, "src1": 0.5, "src2": 0.25}, default_rate=0.1)
+    return out.select("doc_id", "source")
+
+
 def q_text_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin-Karp-shaped rolling-hash fingerprint — order-sensitive and
     incremental, pure arithmetic on both engines (Catalyst aggregate vs
@@ -669,6 +695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "pii_scrub": q_pii_scrub,
         "line_dedup": q_line_dedup,
+        "decontaminate": q_decontaminate,
+        "corpus_sample": q_corpus_sample,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "corpus_select": q_corpus_select,
@@ -1088,6 +1116,38 @@ def oracle_sql() -> dict[str, str]:
                      '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
                    '\\+?\\d[\\d()\\[\\] -]{7,}\\d', '<PHONE>', 'g') AS clean
           FROM m
+        """,
+        "decontaminate": r"""
+          WITH base AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws
+            FROM documents
+          ),
+          tok AS (SELECT doc_id, ws,
+                         unnest(range(greatest(len(ws) - 4, 1))) AS i
+                  FROM base),
+          sh0 AS (
+            SELECT doc_id,
+                   CASE WHEN len(ws) >= 5
+                        THEN array_to_string(ws[i+1:i+5], ' ')
+                        ELSE array_to_string(ws, ' ') END AS sh
+            FROM tok
+          ),
+          sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+          bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20)
+          SELECT doc_id, count(*) AS n_hits, min(sh) AS sample_ngram
+          FROM sh
+          WHERE doc_id >= 20 AND sh IN (SELECT sh FROM bench)
+          GROUP BY doc_id
+        """,
+        "corpus_sample": """
+          SELECT doc_id, source FROM documents
+          WHERE (doc_id * 2654435761) % 1000000 <
+                CASE source
+                  WHEN 'src0' THEN 1000000
+                  WHEN 'src1' THEN 500000
+                  WHEN 'src2' THEN 250000
+                  ELSE 100000
+                END
         """,
         "line_dedup": """
           WITH m AS (

@@ -527,3 +527,52 @@ def dedup_clusters(df: DataFrame, id_col: str = "doc_id",
         F.col("comp"),
         (F.col("node") == F.col("comp")).alias("keep"),
     )
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 8) -> DataFrame:
+    """Benchmark decontamination (the eval-leakage guard every serious
+    training-data pipeline runs): flag corpus documents sharing ANY word
+    n-gram with a benchmark/eval document, with the overlap count — the
+    caller drops or audits them.
+
+    Spark-first shape: the benchmark's distinct shingle set is tiny
+    relative to the corpus (eval suites are KBs–MBs vs TBs), so it
+    BROADCASTS and the corpus-side check is a map-side semi join on the
+    exploded corpus shingles — one corpus pass, no corpus-wide shuffle
+    of anything but the per-doc hit counts (narrow (id, count) agg).
+    Returns (id_col, n_hits, sample_ngram) for contaminated docs only."""
+    c = shingles(corpus.select(id_col, text_col), text_col, n=n)
+    b = shingles(benchmark.select(text_col), text_col, n=n)
+    bset = b.select(F.explode("shingles").alias("sh")).dropDuplicates(["sh"])
+    hits = (
+        c.select(F.col(id_col).alias("id"), F.explode("shingles").alias("sh"))
+        .join(F.broadcast(bset), "sh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"),
+             F.min("sh").alias("sample_ngram"))
+    )
+    return hits.select(F.col("id").alias(id_col), "n_hits", "sample_ngram")
+
+
+def sample_by_source(df: DataFrame, rates: dict[str, float],
+                     id_col: str = "doc_id", source_col: str = "source",
+                     salt: int = 0, default_rate: float = 1.0) -> DataFrame:
+    """Deterministic mixture sampling — the corpus-composition knob
+    (per-source acceptance rates a la domain reweighting): keep a row
+    iff hash(id, salt) mod 10^6 < rate(source)·10^6. Pure arithmetic
+    (Knuth multiplicative hash on the id; the salt perturbs the odd
+    MULTIPLIER, so a new salt redraws the whole membership rather than
+    shifting it), runs identically on any engine/cluster and re-runs
+    reproduce the exact sample. One codegen'd filter — no shuffle, no
+    RNG state. int64-exact for any id (id is folded mod 2^31-1 first)."""
+    mult = 2654435761 + 2 * int(salt)  # stays odd
+    h = F.pmod(
+        F.pmod(F.col(id_col).cast("long"), F.lit(2147483647)) * F.lit(mult),
+        F.lit(1_000_000))
+    expr = F.lit(int(default_rate * 1_000_000))
+    for src, rate in sorted(rates.items()):
+        expr = F.when(F.col(source_col) == src,
+                      F.lit(int(rate * 1_000_000))).otherwise(expr)
+    return df.filter(h < expr)

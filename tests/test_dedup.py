@@ -178,3 +178,38 @@ def test_minhash_arrow_impl_matches_catalyst(spark, sf_dir):
     c = {tuple(r) for r in
          minhash_lsh_pairs(docs, threshold=0.3, impl="catalyst").collect()}
     assert a == c and a
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A corpus doc embedding a benchmark 5-gram is flagged with the
+    right count; clean docs are not; benchmark broadcast is map-side."""
+    from database_delta_plugins_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")], "doc_id: long, text: string")
+    corpus = spark.createDataFrame([
+        (10, "x alpha beta gamma delta epsilon y"),   # 1 shared 5-gram
+        (11, "totally different words entirely here now"),
+    ], "doc_id: long, text: string")
+    out = {r["doc_id"]: r["n_hits"]
+           for r in decontaminate(corpus, bench, n=5).collect()}
+    assert out == {10: 1}
+
+
+def test_sample_by_source_deterministic(spark):
+    """Same salt => identical sample; rate ordering holds; salt redraws."""
+    from database_delta_plugins_spark.operators.dedup import sample_by_source
+
+    rows = [(i, f"src{i % 4}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
+    a = {r["doc_id"] for r in sample_by_source(df, rates, default_rate=0.0).collect()}
+    b = {r["doc_id"] for r in sample_by_source(df, rates, default_rate=0.0).collect()}
+    assert a == b
+    by_src = {s: sum(1 for i in a if i % 4 == int(s[-1])) for s in ("src0", "src1", "src2", "src3")}
+    assert by_src["src0"] == 500            # rate 1.0 keeps all
+    assert 150 < by_src["src1"] < 350       # ~0.5
+    assert 10 < by_src["src2"] < 110        # ~0.1
+    assert by_src["src3"] == 0              # default 0.0
+    c = {r["doc_id"] for r in sample_by_source(df, rates, salt=7, default_rate=0.0).collect()}
+    assert c != a
