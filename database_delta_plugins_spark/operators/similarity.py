@@ -182,8 +182,14 @@ def ivf_build(df: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
     again — they prune to nprobe cells at the scan (partition pruning)
     and brute-force within. Returns (assigned_df, centroids).
     """
-    seed_ids = seed_ids if seed_ids is not None else list(range(n_cells))
-    rows = df.filter(F.col(id_col).isin(seed_ids)).select(id_col, vec_col).collect()
+    if seed_ids is not None:
+        rows = df.filter(F.col(id_col).isin(seed_ids)) \
+            .select(id_col, vec_col).collect()
+    else:
+        # default seeds: the n_cells LOWEST ids actually present (not
+        # range(n_cells) — ids need not start at 0 or be dense);
+        # deterministic TakeOrdered, identical on the dense-id testdata
+        rows = df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
     rows = sorted(rows, key=lambda r: r[id_col])
     centroids = [[float(x) for x in r[vec_col]] for r in rows]
     scores = F.array(*[

@@ -389,3 +389,30 @@ def test_v2_inline_snapshot_reads_and_upgrades(spark, tmp_path):
     t.compact(max_segments_per_bucket=1)
     t = t.refresh()
     assert {r["url"]: r["text"] for r in t.read().collect()} == state
+
+
+def test_cdf_incremental_consumer_converges(spark, tmp_path):
+    """The CDF contract from the consumer side: a downstream state
+    maintained ONLY from changes() windows (apply upserts, drop deletes)
+    equals the table read at every version — the incremental-follow use
+    case changes() exists for."""
+    t = _mk(spark, tmp_path, "t_cdf_con", write_mode="mor")
+    epochs = [
+        [("a", "v1", "en", "I", 1, 0), ("b", "w1", "de", "I", 2, 0)],
+        [("a", "v2", "en", "U", 3, 0), ("c", "x1", "fr", "I", 4, 0)],
+        [("b", None, None, "D", 5, 0), ("d", "y1", "es", "I", 6, 0)],
+        [("c", "x2", "fr", "U", 7, 0), ("a", None, None, "D", 8, 0)],
+    ]
+    downstream: dict = {}
+    last_v = t.version
+    for e, rows in enumerate(epochs):
+        t.merge(_upd(spark, rows), epoch_id=e, lww_strategy="sort")
+        t = t.refresh()
+        for r in t.changes(last_v).collect():
+            if r["_change_type"] == "delete":
+                downstream.pop(r["url"], None)
+            else:
+                downstream[r["url"]] = r["text"]
+        last_v = t.version
+        table_state = {r["url"]: r["text"] for r in t.read().collect()}
+        assert downstream == table_state, f"diverged after epoch {e}"
