@@ -544,6 +544,34 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE composition — the whole training-data pipeline as one
+    DataFrame program: corpus selection (quality ∧ language ∧ exact-dedup
+    rep ∧ near-dup keep-one) ∘ benchmark exclusion (docs < 20 are the
+    eval set; they AND anything sharing a 5-gram with them leave) ∘
+    deterministic mixture sampling per source. Every stage is an
+    already-oracle-checked operator; the composed relation is checked by
+    the composed SQL."""
+    from database_delta_plugins_spark.operators.dedup import (
+        decontaminate,
+        sample_by_source,
+    )
+
+    d = _docs(spark, sf_dir)
+    sel = q_corpus_select(spark, sf_dir)          # doc_id, quality, lang_pred
+    bench = d.filter(F.col("doc_id") < 20)
+    corpus = d.filter(F.col("doc_id") >= 20)
+    contaminated = decontaminate(corpus, bench, n=5).select("doc_id")
+    out = (
+        sel.filter(F.col("doc_id") >= 20)
+        .join(contaminated, "doc_id", "left_anti")
+        .join(d.select("doc_id", "source"), "doc_id")
+    )
+    out = sample_by_source(out, {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+                           default_rate=0.1)
+    return out.select("doc_id", "source", "quality", "lang_pred")
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates, exact-Jaccard verified. At threshold 0.3
     with 16 bands x 4 rows the band-collision probability for a
@@ -697,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "decontaminate": q_decontaminate,
         "corpus_sample": q_corpus_sample,
+        "training_corpus": q_training_corpus,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "corpus_select": q_corpus_select,
@@ -929,6 +958,50 @@ def oracle_sql() -> dict[str, str]:
       SELECT vec_id, round(d / (sqrt(aa) * sqrt(qq)), 4) AS cos_sim
       FROM dots ORDER BY d / (sqrt(aa) * sqrt(qq)) DESC, vec_id LIMIT 10
     """
+    corpus_select_sql = f"""
+          WITH RECURSIVE f AS (
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens,
+                   length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alpha_chars
+            FROM documents
+          ),
+          g AS (
+            SELECT doc_id,
+                   CASE WHEN n_chars > 0 THEN alpha_chars / n_chars ELSE 0.0 END AS alpha_ratio,
+                   CASE WHEN n_tokens > 0 THEN alpha_chars / n_tokens ELSE 0.0 END AS mean_word_len,
+                   n_tokens
+            FROM f
+          ),
+          q AS (
+            SELECT doc_id,
+                   round(least(n_tokens / 50.0, 1.0) * 0.4 + alpha_ratio * 0.4
+                         + least(mean_word_len / 8.0, 1.0) * 0.2, 4) AS quality
+            FROM g
+          ),
+          l AS (SELECT doc_id, {_lang_case_sql()} AS lang_pred FROM documents),
+          keepx AS (SELECT min(doc_id) AS doc_id FROM documents
+                    GROUP BY md5(lower(trim(text)))),
+          pairs AS ({_jaccard_at(0.05)}),
+          e0 AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+          nodes AS (SELECT DISTINCT src AS n FROM e0),
+          edges AS (SELECT src, dst FROM e0 UNION SELECT n, n FROM nodes),
+          reach AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+          ),
+          comp AS (SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src),
+          losers AS (SELECT doc_id FROM comp WHERE doc_id <> comp)
+          SELECT d.doc_id, q.quality, l.lang_pred
+          FROM documents d
+          JOIN q USING (doc_id) JOIN l USING (doc_id)
+          WHERE q.quality >= 0.5 AND l.lang_pred <> 'und'
+            AND d.doc_id IN (SELECT doc_id FROM keepx)
+            AND d.doc_id NOT IN (SELECT doc_id FROM losers)
+        """
+
     return {
         "cdc_apply_lww": lww,
         "cdc_merge_upsert": lww,
@@ -1172,48 +1245,40 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY l.doc_id
         """,
         "ngram_jaccard": jaccard,
-        "corpus_select": f"""
-          WITH RECURSIVE f AS (
-            SELECT doc_id,
-                   length(text)::BIGINT AS n_chars,
-                   len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens,
-                   length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alpha_chars
+        "corpus_select": corpus_select_sql,
+        "training_corpus": f"""
+          WITH sel AS ({corpus_select_sql}),
+          dbase AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') ws
             FROM documents
           ),
-          g AS (
+          dtok AS (SELECT doc_id, ws,
+                          unnest(range(greatest(len(ws) - 4, 1))) AS i
+                   FROM dbase),
+          dsh0 AS (
             SELECT doc_id,
-                   CASE WHEN n_chars > 0 THEN alpha_chars / n_chars ELSE 0.0 END AS alpha_ratio,
-                   CASE WHEN n_tokens > 0 THEN alpha_chars / n_tokens ELSE 0.0 END AS mean_word_len,
-                   n_tokens
-            FROM f
+                   CASE WHEN len(ws) >= 5
+                        THEN array_to_string(ws[i+1:i+5], ' ')
+                        ELSE array_to_string(ws, ' ') END AS sh
+            FROM dtok
           ),
-          q AS (
-            SELECT doc_id,
-                   round(least(n_tokens / 50.0, 1.0) * 0.4 + alpha_ratio * 0.4
-                         + least(mean_word_len / 8.0, 1.0) * 0.2, 4) AS quality
-            FROM g
-          ),
-          l AS (SELECT doc_id, {_lang_case_sql()} AS lang_pred FROM documents),
-          keepx AS (SELECT min(doc_id) AS doc_id FROM documents
-                    GROUP BY md5(lower(trim(text)))),
-          pairs AS ({_jaccard_at(0.05)}),
-          e0 AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                 UNION SELECT id_b, id_a FROM pairs),
-          nodes AS (SELECT DISTINCT src AS n FROM e0),
-          edges AS (SELECT src, dst FROM e0 UNION SELECT n, n FROM nodes),
-          reach AS (
-            SELECT src, dst FROM edges
-            UNION
-            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-          ),
-          comp AS (SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src),
-          losers AS (SELECT doc_id FROM comp WHERE doc_id <> comp)
-          SELECT d.doc_id, q.quality, l.lang_pred
-          FROM documents d
-          JOIN q USING (doc_id) JOIN l USING (doc_id)
-          WHERE q.quality >= 0.5 AND l.lang_pred <> 'und'
-            AND d.doc_id IN (SELECT doc_id FROM keepx)
-            AND d.doc_id NOT IN (SELECT doc_id FROM losers)
+          dsh AS (SELECT DISTINCT doc_id, sh FROM dsh0),
+          dbench AS (SELECT DISTINCT sh FROM dsh WHERE doc_id < 20),
+          contaminated AS (
+            SELECT DISTINCT doc_id FROM dsh
+            WHERE doc_id >= 20 AND sh IN (SELECT sh FROM dbench)
+          )
+          SELECT s.doc_id, d.source, s.quality, s.lang_pred
+          FROM sel s JOIN documents d USING (doc_id)
+          WHERE s.doc_id >= 20
+            AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+            AND (s.doc_id * 2654435761) % 1000000 <
+                CASE d.source
+                  WHEN 'src0' THEN 1000000
+                  WHEN 'src1' THEN 500000
+                  WHEN 'src2' THEN 250000
+                  ELSE 100000
+                END
         """,
         "dedup_clusters": f"""
           WITH RECURSIVE pairs AS ({_jaccard_at(0.05)}),
