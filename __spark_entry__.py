@@ -544,6 +544,16 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining packing prep (r3): token-window chunking with overlap
+    (16-token windows, 8-token stride here so sf corpora multi-chunk);
+    oracle mirrors the stride/slice arithmetic."""
+    from database_delta_plugins_spark.operators.text import chunk_documents
+
+    d = _docs(spark, sf_dir)
+    return chunk_documents(d, chunk_tokens=16, overlap=8)
+
+
 def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CAPSTONE composition — the whole training-data pipeline as one
     DataFrame program: corpus selection (quality ∧ language ∧ exact-dedup
@@ -726,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "corpus_sample": q_corpus_sample,
         "training_corpus": q_training_corpus,
+        "chunk_docs": q_chunk_docs,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "corpus_select": q_corpus_select,
@@ -1211,6 +1222,22 @@ def oracle_sql() -> dict[str, str]:
           FROM sh
           WHERE doc_id >= 20 AND sh IN (SELECT sh FROM bench)
           GROUP BY doc_id
+        """,
+        "chunk_docs": r"""
+          WITH b AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws
+            FROM documents
+          ),
+          c AS (
+            SELECT doc_id, ws,
+                   greatest(CAST(ceil((len(ws) - 8) / 8.0) AS INT), 1) AS k
+            FROM b
+          ),
+          e AS (SELECT doc_id, ws, unnest(range(k)) AS cid FROM c)
+          SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+                 array_to_string(ws[cid*8+1 : cid*8+16], ' ') AS chunk_text,
+                 CAST(len(ws[cid*8+1 : cid*8+16]) AS BIGINT) AS n_tokens
+          FROM e
         """,
         "corpus_sample": """
           SELECT doc_id, source FROM documents

@@ -236,3 +236,39 @@ def remove_boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
         )
         .select(F.col("id").alias(id_col), out, "n_removed")
     )
+
+
+def chunk_documents(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", chunk_tokens: int = 32,
+                    overlap: int = 8) -> DataFrame:
+    """Training-prep document chunking: split each document into
+    whitespace-token windows of ``chunk_tokens`` with ``overlap`` tokens
+    of context carried between consecutive chunks (stride =
+    chunk_tokens - overlap) — the standard pretraining packing prep.
+    The last window keeps its tail even when short; a document shorter
+    than one window yields exactly one chunk.
+
+    Pure Catalyst: split -> sequence over stride starts -> slice ->
+    posexplode. Output (id_col, chunk_id, chunk_text, n_tokens); chunks
+    of one document are independent rows, so downstream tokenize/pack
+    stages parallelize past document granularity."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got "
+                         f"{overlap} / {chunk_tokens}")
+    stride = chunk_tokens - overlap
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    # start offsets 0, stride, 2*stride, ... while start < max(n - overlap, 1)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)).cast("int"),
+        F.lit(1))
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    chunks = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(words, s + 1, chunk_tokens)))
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+    )
+    return out.withColumn(
+        "n_tokens",
+        F.size(F.split(F.col("chunk_text"), r"\s+")).cast("long"))

@@ -120,3 +120,20 @@ def test_remove_boilerplate_lines(spark):
     assert out[1] == ("body one", 2)
     assert out[2] == ("body two", 2)
     assert out[3] == ("solo page", 1)
+
+
+def test_chunk_documents_stride_and_tail(spark):
+    from database_delta_plugins_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(70))), (2, "a b c")],
+        "doc_id: long, text: string")
+    rows = {(r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+            for r in chunk_documents(df, chunk_tokens=32, overlap=8).collect()}
+    assert len([k for k in rows if k[0] == 1]) == 3     # ceil((70-8)/24)
+    assert rows[(1, 0)][0].startswith("w0 ") and rows[(1, 0)][1] == 32
+    assert rows[(1, 1)][0].startswith("w24 ")           # 8-token overlap
+    assert rows[(1, 2)][1] == 22                        # tail kept
+    assert rows[(2, 0)] == ("a b c", 3)                 # short doc = 1 chunk
+    # consecutive chunks overlap by exactly `overlap` tokens
+    assert rows[(1, 0)][0].split()[-8:] == rows[(1, 1)][0].split()[:8]
