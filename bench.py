@@ -198,7 +198,7 @@ def run_queries() -> dict:
     heads = ["cdc_apply_lww", "cdc_merge_upsert", "cdc_mor_deep_read",
              "dedup_exact", "minhash_lsh",
              "ngram_jaccard", "simhash", "ann_cosine_topk", "embed_neardup",
-             "text_quality", "events_sessions"]
+             "text_quality", "events_sessions", "training_corpus"]
     qs = entrymod.queries()
     # untimed warmup: JVM JIT + codegen + parquet footer caches; steady
     # -state query latency is the comparable metric round-over-round
