@@ -1156,13 +1156,15 @@ def oracle_sql() -> dict[str, str]:
                                ELSE '' END
                    END AS url
             FROM documents
+          ), nf AS (
+            SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u2 FROM m
           ), parts AS (
             SELECT doc_id, url,
-              lower(coalesce(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
-              lower(coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')) AS hostport,
-              coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS rawpath,
-              coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS q
-            FROM m
+              lower(coalesce(regexp_extract(u2, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
+              lower(coalesce(regexp_extract(u2, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')) AS hostport,
+              coalesce(regexp_extract(u2, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS rawpath,
+              coalesce(regexp_extract(u2, '\\?(.*)$', 1), '') AS q
+            FROM nf
           ), norm AS (
             SELECT doc_id, url, scheme,
               regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''), '^www\\.', '') AS host,
@@ -1198,7 +1200,8 @@ def oracle_sql() -> dict[str, str]:
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
                        '<EMAIL>', 'g'),
                      '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
-                   '\\+?\\d[\\d()\\[\\] -]{7,}\\d', '<PHONE>', 'g') AS clean
+                   '(?:\\+\\d{1,3}[ -])?(?:\\(\\d{2,4}\\)[ -]?)?\\d{3}[ -]\\d{3,4}(?:[ -]\\d{3,4})?',
+                   '<PHONE>', 'g') AS clean
           FROM m
         """,
         "decontaminate": r"""

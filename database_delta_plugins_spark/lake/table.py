@@ -257,6 +257,32 @@ class LakeTable:
             self._manifest_cache[rel] = segs
         return segs
 
+    def _prefetch_manifests(self, snap: dict,
+                            buckets: list[int] | None = None) -> None:
+        """Warm the manifest cache CONCURRENTLY for the selected buckets
+        (thread pool over MetaIO gets). On an object store a 512-bucket
+        scan would otherwise pay 512 sequential driver round-trips
+        (~50-100 ms each) before any Spark job starts; fetched in
+        parallel it is one round-trip-time deep. No-op for cached or
+        inline (v2) entries."""
+        missing = []
+        for b, info in snap["buckets"].items():
+            if buckets is not None and int(b) not in buckets:
+                continue
+            if "manifest" in info and info["manifest"] not in self._manifest_cache:
+                missing.append(info["manifest"])
+        if len(missing) < 2:
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        def fetch(rel: str):
+            return rel, json.loads(
+                self.io.read_text(f"{self.path}/_meta/{rel}"))["segments"]
+
+        with ThreadPoolExecutor(max_workers=min(16, len(missing))) as ex:
+            for rel, segs in ex.map(fetch, missing):
+                self._manifest_cache[rel] = segs
+
     @staticmethod
     def _nseg(info: dict) -> int:
         """Segment-stack depth without loading the manifest body."""
@@ -328,6 +354,7 @@ class LakeTable:
         if version is not None and version != snap["version"]:
             snap = json.loads(self.io.read_text(f"{self.path}/_meta/v{version}.json"))
         cur = {f["id"]: f for f in snap["schemas"][str(snap["current_schema_id"])]}
+        self._prefetch_manifests(snap, buckets)
         # group files by schema_id, split base (first segment per bucket)
         # vs delta (appended epoch segments)
         base_groups: dict[int, list[str]] = {}
@@ -1168,6 +1195,10 @@ class LakeTable:
         # without loading its manifest. The diff is O(changed buckets),
         # not O(table files); a file never moves buckets (path embeds
         # _bucket=b), so per-bucket diffing equals the global file diff.
+        changed = [int(b) for b, info in s_to["buckets"].items()
+                   if s_from["buckets"].get(b) != info]
+        self._prefetch_manifests(s_to, changed)
+        self._prefetch_manifests(s_from, changed)
         groups: dict[int, list[str]] = {}
         for b, info in s_to["buckets"].items():
             finfo = s_from["buckets"].get(b)
@@ -1233,9 +1264,14 @@ class LakeTable:
         if purge_tombstones:
             frontier = self.last_committed_lsn()
             if frontier is not None:
-                df = df.filter(
-                    ~(F.col("_is_deleted") & (F.col("_lsn") <= F.lit(frontier))))
-                purged = True
+                cond = F.col("_is_deleted") & (F.col("_lsn") <= F.lit(frontier))
+                # only claim a purge (and poison CDF windows across this
+                # version) when tombstone rows were ACTUALLY dropped — a
+                # routine purge-compaction of a delete-free table must
+                # not force changes() consumers to resync
+                if df.filter(cond).limit(1).count():
+                    df = df.filter(~cond)
+                    purged = True
         new_version = self.version + 1
         commit_rel = f"data/compact-{new_version}-{uuid.uuid4().hex[:8]}"
         commit_dir = f"{self.path}/{commit_rel}"

@@ -25,6 +25,16 @@ def split_ddl(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     return df.filter(F.col("op") != "ddl"), df.filter(F.col("op") == "ddl")
 
 
+def op_type_expr(op_col: str = "op") -> Column:
+    """The op-code normalization as a reusable COLUMN (c/r -> I, u -> U,
+    d -> D, anything else null) — the single source of the D2 map;
+    consumed by map_opcode and the pipeline's folded lineage agg so the
+    two can never diverge."""
+    return (F.when(F.col(op_col).isin("c", "r"), F.lit("I"))
+            .when(F.col(op_col) == "u", F.lit("U"))
+            .when(F.col(op_col) == "d", F.lit("D")))
+
+
 def map_opcode(df: DataFrame, op_col: str = "op", out_col: str = "op_type",
                drop_unknown: bool = True) -> DataFrame:
     """D2: normalize source op codes; unknown codes are dropped (skip+warn
@@ -32,10 +42,7 @@ def map_opcode(df: DataFrame, op_col: str = "op", out_col: str = "op_type",
     ``drop_unknown=False`` unknown rows survive with a null ``out_col`` so
     the caller can COUNT them into lineage before filtering (the pipeline
     does: see CDCPipeline.apply_batch's events_skipped_unknown_op)."""
-    expr = F.when(F.col(op_col).isin("c", "r"), F.lit("I")) \
-        .when(F.col(op_col) == "u", F.lit("U")) \
-        .when(F.col(op_col) == "d", F.lit("D"))
-    out = df.withColumn(out_col, expr)
+    out = df.withColumn(out_col, op_type_expr(op_col))
     return out.filter(F.col(out_col).isNotNull()) if drop_unknown else out
 
 

@@ -151,7 +151,8 @@ def dropped_postings(postings: DataFrame, bucket_cols: list[str],
 
 def _verify_exact_jaccard(cand: DataFrame, df: DataFrame, id_col: str,
                           text_col: str, n: int,
-                          threshold: float) -> DataFrame:
+                          threshold: float,
+                          broadcast_ids: bool = True) -> DataFrame:
     """Join candidate (id_a, id_b) pairs back to their full shingle sets
     and keep exact Jaccard >= threshold. Threshold on the RAW ratio;
     rounding only in the projection (oracle boundary parity).
@@ -169,13 +170,18 @@ def _verify_exact_jaccard(cand: DataFrame, df: DataFrame, id_col: str,
         .unionByName(cand.select(F.col("id_b").alias(id_col)))
         .dropDuplicates([id_col])
     )
-    # broadcast the candidate-doc ids: bounded by the generators' bucket
-    # caps (narrow longs/strings), so the prune is a map-side broadcast
-    # semi — the corpus text column is never shuffled to be verified.
+    # ``broadcast_ids`` (default): ship the candidate-doc id set to
+    # every executor — the prune is a map-side broadcast semi, the
+    # corpus text column is never shuffled to be verified. NOTE the id
+    # set size is the GLOBAL count of docs in any candidate pair (the
+    # bucket caps bound per-bucket pairs, not this union); at corpus
+    # scales where that exceeds broadcast limits (~10^8 candidate docs)
+    # pass broadcast_ids=False for a shuffle semi join instead.
     # The pruned base is checkpointed too: sa and sb below are two plan
     # branches of it, and Catalyst has no cross-join common-subtree
     # reuse — uncheckpointed, the scan+shingle pass would run twice.
-    base = _shingle_base(df.join(F.broadcast(ids), id_col, "semi"),
+    idrel = F.broadcast(ids) if broadcast_ids else ids
+    base = _shingle_base(df.join(idrel, id_col, "semi"),
                          id_col, text_col, n).localCheckpoint(eager=False)
     sa = base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"),
                      F.col("n_sh").alias("na"))
@@ -566,10 +572,18 @@ def sample_by_source(df: DataFrame, rates: dict[str, float],
     MULTIPLIER, so a new salt redraws the whole membership rather than
     shifting it), runs identically on any engine/cluster and re-runs
     reproduce the exact sample. One codegen'd filter — no shuffle, no
-    RNG state. int64-exact for any id (id is folded mod 2^31-1 first)."""
+    RNG state. int64-exact for any NUMERIC id (folded mod 2^31-1 before
+    the multiply); non-numeric ids (urls, string keys) fall back to
+    xxhash64 — same determinism engine-side, just not mirrorable in
+    plain-SQL oracles."""
     mult = 2654435761 + 2 * int(salt)  # stays odd
+    idnum = F.coalesce(
+        F.col(id_col).try_cast("long"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(int(salt))),
+               F.lit(2147483647)),
+    )
     h = F.pmod(
-        F.pmod(F.col(id_col).cast("long"), F.lit(2147483647)) * F.lit(mult),
+        F.pmod(idnum, F.lit(2147483647)) * F.lit(mult),
         F.lit(1_000_000))
     expr = F.lit(int(default_rate * 1_000_000))
     for src, rate in sorted(rates.items()):

@@ -148,7 +148,9 @@ def canonicalize_url(url) -> F.Column:
 
     Pure Catalyst (regexp_extract + array ops, codegen'd); the DuckDB
     oracle mirrors each rule with regexp_extract/list_sort."""
-    u = url
+    # fragment dropped FIRST — a '?' inside the fragment must not be
+    # mistaken for a query separator ('http://a/p#sec?x' has no query)
+    u = F.regexp_replace(url, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
     host = F.regexp_replace(hostport, r":\d+$", "")
@@ -161,7 +163,7 @@ def canonicalize_url(url) -> F.Column:
     )
     path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    query = F.regexp_extract(u, r"\?(.*)$", 1)
     sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
     return F.concat(
         scheme, F.lit("://"), host,
@@ -172,13 +174,19 @@ def canonicalize_url(url) -> F.Column:
 
 
 # PII patterns shared verbatim with the SQL oracle — RE2-safe (no
-# backreferences/lookaround, both Java regex and DuckDB RE2 accept them).
-# Applied in this exact order (email first so its digits are gone before
-# the phone pass).
+# backreferences/lookaround; non-capturing groups only — both Java regex
+# and DuckDB RE2 accept them). Applied in this exact order (email first
+# so its digits are gone before the phone pass). The phone pattern
+# requires phone STRUCTURE (optional +country / (area), then
+# 3-digit[sep]3-4-digit[sep optional 3-4-digit]) rather than any long
+# digit run — ISO dates ('2020-01-01'), timestamps ('12:30') and numeric
+# table data must survive scrubbing; unseparated 10-digit runs are the
+# accepted recall trade.
 PII_RULES = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    (r"\+?\d[\d()\[\] -]{7,}\d", "<PHONE>"),
+    (r"(?:\+\d{1,3}[ -])?(?:\(\d{2,4}\)[ -]?)?\d{3}[ -]\d{3,4}(?:[ -]\d{3,4})?",
+     "<PHONE>"),
 ]
 
 

@@ -269,7 +269,11 @@ class CDCPipeline:
         t = LakeTable.load(self.spark, self._all_table_paths()[0])
         if replicate_existing_data and snapshot_df is not None:
             snap = (
-                snapshot_df
+                # snapshot rows take the same binary/charset landing
+                # conversion as streamed events — without it, merge's
+                # schema normalization would lossy-UTF8-cast raw bytes
+                # while the tail lands hex/base64/charset text
+                self._convert_binary(snapshot_df)
                 .withColumn("op_type", F.lit("I"))
                 .withColumn("lsn", F.lit(-1).cast("long"))
                 .withColumn("seq", F.monotonically_increasing_id())
@@ -394,9 +398,7 @@ class CDCPipeline:
         half-open [lo, hi) split); blacklisted rows are excluded per
         table exactly as decode's null-safe D7 filter does (unknown-op
         rows pass through to be counted)."""
-        op_type = (F.when(F.col("op").isin("c", "r"), F.lit("I"))
-                   .when(F.col("op") == "u", F.lit("U"))
-                   .when(F.col("op") == "d", F.lit("D")))
+        op_type = decode.op_type_expr("op")
         seg_e, keep_e, name_e = None, None, None
         for tname, bounds, bl in specs:
             cond = F.lit(True) if tname is None else (F.col("table_name") == tname)

@@ -213,3 +213,22 @@ def test_sample_by_source_deterministic(spark):
     assert by_src["src3"] == 0              # default 0.0
     c = {r["doc_id"] for r in sample_by_source(df, rates, salt=7, default_rate=0.0).collect()}
     assert c != a
+
+
+def test_sample_by_source_string_ids(spark):
+    """review r3: non-numeric ids (urls) must sample, not silently
+    vanish via a NULL cast."""
+    from database_delta_plugins_spark.operators.dedup import sample_by_source
+
+    rows = [(f"https://ex.com/p{i}", f"src{i % 2}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id: string, source: string")
+    a = {r["doc_id"] for r in sample_by_source(
+        df, {"src0": 1.0, "src1": 0.5}).collect()}
+    assert sum(1 for u in a if u.endswith(("0", "2", "4", "6", "8"))) > 0
+    n0 = sum(1 for i, u in enumerate(rows) if u[0] in a and i % 2 == 0)
+    assert n0 == 200                      # rate 1.0 keeps every src0 row
+    n1 = sum(1 for i, u in enumerate(rows) if u[0] in a and i % 2 == 1)
+    assert 50 < n1 < 150                  # ~0.5
+    b = {r["doc_id"] for r in sample_by_source(
+        df, {"src0": 1.0, "src1": 0.5}).collect()}
+    assert a == b                         # deterministic

@@ -415,3 +415,24 @@ def test_rebucket(spark, tmp_path):
     assert {r["url"] for r in t.scan(buckets=[bd]).collect()} >= {"d"}
     # no-op path
     assert t.rebucket(16)["rebucketed"] is False
+
+
+def test_purge_without_tombstones_does_not_poison_cdf(spark, tmp_path):
+    """review r3: compact(purge_tombstones=True) on a delete-free table
+    must NOT record a purge — CDF windows across it stay readable."""
+    t = _mk_mor(spark, tmp_path, "t_nopurge")
+    t.merge(_upd(spark, [("a", "v1", "en", "I", 1, 0),
+                         ("b", "w1", "de", "I", 2, 0)]), epoch_id=1)
+    t = t.refresh()
+    v1 = t.version
+    t.merge(_upd(spark, [("a", "v2", "en", "U", 3, 0)]), epoch_id=2)
+    t = t.refresh()
+    res = t.compact(max_segments_per_bucket=0, purge_tombstones=True)
+    assert res["purged_tombstones"] is False
+    t = t.refresh()
+    assert t.snap.get("last_purge_version") is None
+    t.merge(_upd(spark, [("c", "x1", "fr", "I", 4, 0)]), epoch_id=3)
+    t = t.refresh()
+    # window across the no-op purge still reads
+    urls = {r["url"] for r in t.changes(v1).collect()}
+    assert urls == {"a", "c"}

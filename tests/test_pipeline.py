@@ -495,3 +495,22 @@ def test_multi_table_lineage_folds_into_one_job(spark, sf_dir, tmp_path,
     # driver jobs grow ONLY by the per-table merge jobs: same slope
     # 1->2 as 2->4 per table (lineage contributes zero per-table jobs)
     assert j4 - j2 == 2 * (j2 - j1), (j1, j2, j4)
+
+
+def test_bootstrap_snapshot_respects_binary_handling(spark, sf_dir, tmp_path):
+    """review r3: snapshot-seeded rows take the same binary landing
+    conversion as tailed events — hex mode must not leave the initial
+    snapshot as a lossy UTF-8 cast."""
+    from pyspark.sql import types as T
+
+    snap_df = spark.createDataFrame(
+        [("u1", None, bytes([0xde, 0xad, 0xbe, 0xef]), None, "en")],
+        CDCPipeline(spark, "x", "y", "z").payload_schema)
+    p = CDCPipeline(
+        spark, str(tmp_path / "log_nohex"), str(tmp_path / "t_bh"),
+        str(tmp_path / "c_bh"), num_buckets=2,
+        runtime_args={"source.connector.binary_handling": "hex"},
+    )
+    t = p.bootstrap(replicate_existing_data=True, snapshot_df=snap_df)
+    row = t.read().head()
+    assert row["html"] == "deadbeef"

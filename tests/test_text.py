@@ -83,6 +83,8 @@ def test_canonicalize_url_rules(spark):
         ("http://site.com:8080/p", "http://site.com:8080/p"),
         ("https://www.a.b.c/path/?z=1", "https://a.b.c/path/?z=1"),
         ("http://Host.org", "http://host.org/"),
+        # a '?' inside the fragment is NOT a query (fragment drops first)
+        ("http://a.com/p#sec?x=1", "http://a.com/p"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url: string")
     got = [r["c"] for r in
@@ -97,7 +99,12 @@ def test_scrub_pii_cases(spark):
         ("mail a.b+c@ex-ample.co.uk now", "mail <EMAIL> now"),
         ("ip 192.168.0.1 end", "ip <IP> end"),
         ("call +1 (555) 010-9999 ok", "call <PHONE> ok"),
+        ("call 555 010 9999 ok", "call <PHONE> ok"),
         ("clean text stays", "clean text stays"),
+        # structure, not digit runs: dates/timestamps/tables survive
+        ("released 2021-06-15 12:30 rev 2020-01-01",
+         "released 2021-06-15 12:30 rev 2020-01-01"),
+        ("row 10 20 30 40 50 end", "row 10 20 30 40 50 end"),
     ]
     df = spark.createDataFrame([(t,) for t, _ in cases], "t: string")
     got = [r["c"] for r in df.select(scrub_pii(F.col("t")).alias("c")).collect()]
