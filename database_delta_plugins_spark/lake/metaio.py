@@ -20,6 +20,13 @@ Implementations: ``LocalMetaIO`` (POSIX; exclusive-create = the
 conditional put, os.replace = atomic hint update) and ``MemoryMetaIO``
 (object-store semantics for tests: put-if-absent, last-writer-wins
 unconditional put, NO rename — proves the protocol needs none).
+
+Concurrency contract: ``read_text`` MUST be safe to call from multiple
+driver threads concurrently (LakeTable prefetches per-bucket manifests
+with a thread pool). Both shipped implementations satisfy it trivially
+(independent file opens / dict reads); an object-store implementation
+must use a thread-safe client or per-call connections. All MUTATING
+methods are only ever called from the single writer thread.
 Data-file I/O is NOT abstracted here: parquet read/write goes through
 Spark's Hadoop filesystem layer, which already speaks s3a/gs/abfs.
 """

@@ -252,19 +252,26 @@ class LakeTable:
         rel = info["manifest"]
         segs = self._manifest_cache.get(rel)
         if segs is None:
-            segs = json.loads(
-                self.io.read_text(f"{self.path}/_meta/{rel}"))["segments"]
+            segs = self._fetch_manifest(rel)
             self._manifest_cache[rel] = segs
         return segs
+
+    def _fetch_manifest(self, rel: str) -> list[dict]:
+        """The one place that knows the manifest wire format (path layout
+        + JSON envelope) — shared by lazy resolution and the concurrent
+        prefetch so they can never diverge."""
+        return json.loads(
+            self.io.read_text(f"{self.path}/_meta/{rel}"))["segments"]
 
     def _prefetch_manifests(self, snap: dict,
                             buckets: list[int] | None = None) -> None:
         """Warm the manifest cache CONCURRENTLY for the selected buckets
-        (thread pool over MetaIO gets). On an object store a 512-bucket
-        scan would otherwise pay 512 sequential driver round-trips
-        (~50-100 ms each) before any Spark job starts; fetched in
-        parallel it is one round-trip-time deep. No-op for cached or
-        inline (v2) entries."""
+        (thread pool over MetaIO gets — read_text must be concurrency-
+        safe, part of the MetaIO contract; see lake/metaio.py). On an
+        object store a 512-bucket scan would otherwise pay 512
+        sequential driver round-trips (~50-100 ms each) before any Spark
+        job starts; fetched in parallel it is one round-trip-time deep.
+        No-op for cached or inline (v2) entries."""
         missing = []
         for b, info in snap["buckets"].items():
             if buckets is not None and int(b) not in buckets:
@@ -275,12 +282,8 @@ class LakeTable:
             return
         from concurrent.futures import ThreadPoolExecutor
 
-        def fetch(rel: str):
-            return rel, json.loads(
-                self.io.read_text(f"{self.path}/_meta/{rel}"))["segments"]
-
         with ThreadPoolExecutor(max_workers=min(16, len(missing))) as ex:
-            for rel, segs in ex.map(fetch, missing):
+            for rel, segs in zip(missing, ex.map(self._fetch_manifest, missing)):
                 self._manifest_cache[rel] = segs
 
     @staticmethod
@@ -1260,18 +1263,21 @@ class LakeTable:
             return {"buckets_compacted": [], "version": self.version}
         # scan() resolves LWW across segments when stacks are deep
         df = self.scan(buckets=over).withColumn("_bucket", self.bucket_expr(F.col(self.key)))
-        purged = False
+        purge_obs = None
         if purge_tombstones:
             frontier = self.last_committed_lsn()
             if frontier is not None:
+                from pyspark.sql import Observation
+
                 cond = F.col("_is_deleted") & (F.col("_lsn") <= F.lit(frontier))
-                # only claim a purge (and poison CDF windows across this
-                # version) when tombstone rows were ACTUALLY dropped — a
-                # routine purge-compaction of a delete-free table must
-                # not force changes() consumers to resync
-                if df.filter(cond).limit(1).count():
-                    df = df.filter(~cond)
-                    purged = True
+                # purge count rides the write via observe() — ONE job,
+                # no separate existence probe re-running the whole
+                # resolve; the flag is decided after the write, before
+                # the snapshot commit
+                purge_obs = Observation()
+                df = df.observe(
+                    purge_obs, F.sum(cond.cast("long")).alias("purged"))
+                df = df.filter(~cond)
         new_version = self.version + 1
         commit_rel = f"data/compact-{new_version}-{uuid.uuid4().hex[:8]}"
         commit_dir = f"{self.path}/{commit_rel}"
@@ -1281,6 +1287,12 @@ class LakeTable:
             .mode("errorifexists")
             .parquet(commit_dir)
         )
+        # only claim a purge (and poison CDF windows across this
+        # version) when tombstone rows were ACTUALLY dropped — a routine
+        # purge-compaction of a delete-free table must not force
+        # changes() consumers to resync
+        purged = bool(purge_obs is not None
+                      and int(purge_obs.get["purged"] or 0) > 0)
         snap = json.loads(json.dumps(self.snap))
         for b in over:
             bdir = f"{commit_dir}/_bucket={b}"

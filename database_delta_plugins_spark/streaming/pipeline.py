@@ -328,6 +328,11 @@ class CDCPipeline:
         for name in self._binary_converted_cols():
             if name not in d.columns:
                 continue
+            if not isinstance(d.schema[name].dataType, T.BinaryType):
+                # already landed as a string (e.g. a snapshot re-seeded
+                # from a converted table) — converting again would
+                # double-encode or crash the charset decoder
+                continue
             if name in self.charset_columns:
                 dec = make_charset_decoder(self.charset_columns[name])
                 d = d.withColumn(name, dec(F.col(name)))

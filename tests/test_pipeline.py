@@ -514,3 +514,26 @@ def test_bootstrap_snapshot_respects_binary_handling(spark, sf_dir, tmp_path):
     t = p.bootstrap(replicate_existing_data=True, snapshot_df=snap_df)
     row = t.read().head()
     assert row["html"] == "deadbeef"
+
+
+def test_bootstrap_snapshot_string_html_not_double_encoded(spark, tmp_path):
+    """review r3 #2: a snapshot whose binary column ALREADY landed as a
+    string (re-seed from a converted table) passes through unchanged —
+    no double hex-encoding."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.StringType(), True),   # pre-converted
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ])
+    snap_df = spark.createDataFrame([("u1", None, "deadbeef", None, "en")], schema)
+    p = CDCPipeline(
+        spark, str(tmp_path / "log_ds"), str(tmp_path / "t_ds"),
+        str(tmp_path / "c_ds"), num_buckets=2,
+        runtime_args={"source.connector.binary_handling": "hex"},
+    )
+    t = p.bootstrap(replicate_existing_data=True, snapshot_df=snap_df)
+    assert t.read().head()["html"] == "deadbeef"
