@@ -752,16 +752,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _lang_hits_sql(padded: str, words: list[str]) -> str:
+def _lang_hits_sql(toks: str, words: list[str]) -> str:
+    # exact token-equality counts, mirroring operators/text.py::lang_id
+    # (split-on-delimiter counting undercounts adjacent repeats)
     return " + ".join(
-        f"(len(string_split({padded}, ' {w} ')) - 1)" for w in words
+        f"len(list_filter({toks}, w -> w = '{w}'))" for w in words
     )
 
 
 def _lang_case_sql() -> str:
-    padded = "(' ' || lower(text) || ' ')"
+    toks = r"regexp_split_to_array(lower(trim(text)), '\s+')"
     branches = "\n".join(
-        f"WHEN {_lang_hits_sql(padded, words)} >= 2 THEN '{lang}'"
+        f"WHEN {_lang_hits_sql(toks, words)} >= 2 THEN '{lang}'"
         for lang, words in LANG_MARKERS
     )
     return f"CASE {branches} ELSE 'und' END"
@@ -1200,7 +1202,7 @@ def oracle_sql() -> dict[str, str]:
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
                        '<EMAIL>', 'g'),
                      '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
-                   '(?:\\+\\d{1,3}[ -])?(?:\\(\\d{2,4}\\)[ -]?)?\\d{3}[ -]\\d{3,4}(?:[ -]\\d{3,4})?',
+                   '\\+\\d{1,3}[ -](?:\\(\\d{2,4}\\)[ -]?)?\\d{3,4}[ -]\\d{3,4}(?:[ -]\\d{3,4})?|\\(\\d{2,4}\\)[ -]?\\d{3,4}[ -]\\d{3,4}(?:[ -]\\d{3,4})?|\\b\\d{3}-\\d{3,4}(?:-\\d{3,4})?\\b',
                    '<PHONE>', 'g') AS clean
           FROM m
         """,

@@ -225,6 +225,11 @@ def minhash_lsh_pairs(
     """
     if impl not in ("arrow", "catalyst"):
         raise ValueError(f"impl must be arrow|catalyst, got {impl!r}")
+    if bands < 1 or _N_MINHASH % bands:
+        # bands=128 would make rows_per_band=0 -> ONE global bucket and
+        # (capped) near-zero candidates with no error; fail loudly like
+        # simhash's n_chunks guard
+        raise ValueError(f"bands must divide {_N_MINHASH}, got {bands}")
     rows_per_band = _N_MINHASH // bands
     base = _shingle_base(df, id_col, text_col, n)
     sigs = (minhash_signature_arrow if impl == "arrow"
@@ -576,7 +581,11 @@ def sample_by_source(df: DataFrame, rates: dict[str, float],
     the multiply); non-numeric ids (urls, string keys) fall back to
     xxhash64 — same determinism engine-side, just not mirrorable in
     plain-SQL oracles."""
-    mult = 2654435761 + 2 * int(salt)  # stays odd
+    # reduce the multiplier mod 10^6 up front: (a*b) mod m == (a*(b mod
+    # m)) mod m, so h is IDENTICAL (oracle untouched) while the product
+    # stays < 2^31 * 10^6 ~ 2^51 — int64-exact for ANY salt (unreduced,
+    # an epoch-seconds salt would overflow int64 under ANSI mode)
+    mult = (2654435761 + 2 * int(salt)) % 1_000_000
     idnum = F.coalesce(
         F.col(id_col).try_cast("long"),
         F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(int(salt))),

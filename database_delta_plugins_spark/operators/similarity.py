@@ -31,7 +31,15 @@ def _norm(a) -> F.Column:
 
 
 def cosine(a, b) -> F.Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity, null for zero-norm inputs. The guard matters:
+    0/0 is NaN, and Spark ranks NaN ABOVE every real number — an
+    all-zero embedding (failed encode, padding) would otherwise win
+    every top-k and pass `>= threshold` filters. NULL instead sorts
+    last under desc and fails every threshold, so zero vectors are
+    excluded everywhere (matching the numpy/GEMM variant, where NaN
+    comparisons are False)."""
+    na, nb = _norm(a), _norm(b)
+    return F.when((na > 0) & (nb > 0), _dot(a, b) / (na * nb))
 
 
 def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
@@ -42,7 +50,10 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     # rank on the RAW cosine (round only in the projection): rank-k ties
     # introduced by rounding would diverge from an exact-SQL oracle.
+    # Null scores (zero-norm vectors) are EXCLUDED, not ranked last —
+    # they must never pad the top-k.
     scored = df.select(F.col(id_col), cosine(F.col(vec_col), q).alias("_c"))
+    scored = scored.filter(F.col("_c").isNotNull())
     return (
         scored.orderBy(F.desc("_c"), F.col(id_col)).limit(k)
         .select(id_col, F.round("_c", 6).alias("cos_sim"))
@@ -67,6 +78,7 @@ def cosine_topk_batch(df: DataFrame, queries: DataFrame, k: int = 10,
         df.select(id_col, vec_col).crossJoin(q)
         .select("_qid", id_col,
                 cosine(F.col(vec_col), F.col("_qv")).alias("_c"))
+        .filter(F.col("_c").isNotNull())   # zero-norm vectors excluded
     )
     w = Window.partitionBy("_qid").orderBy(F.desc("_c"), F.col(id_col))
     return (
@@ -152,6 +164,20 @@ def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,
         sigged = lsh_build(df, len(query_vec), bits=bits, vec_col=vec_col)
     return lsh_topk(sigged, query_vec, k=k, bits=bits, id_col=id_col,
                     vec_col=vec_col, multiprobe=multiprobe)
+
+
+def _cap_sig_bucket(s: DataFrame, id_col: str,
+                    max_bucket: int | None) -> DataFrame:
+    """The per-sig-bucket postings cap (operators/dedup.py::_cap_postings
+    contract, specialized to the signature relation) — ONE definition so
+    the catalyst and GEMM near-dup variants, and the dropped_postings
+    audit, can never diverge."""
+    if max_bucket is None:
+        return s
+    from pyspark.sql.window import Window
+
+    rk = F.row_number().over(Window.partitionBy("sig").orderBy(id_col))
+    return s.withColumn("_rk", rk).filter(F.col("_rk") <= max_bucket).drop("_rk")
 
 
 def _py_cosine(a: list[float], b: list[float]) -> float:
@@ -272,19 +298,19 @@ def cosine_neardup_pairs_arrow(df: DataFrame, dim: int,
 
     s = lsh_signature(df.select(id_col, vec_col), dim, bits=bits,
                       vec_col=vec_col)
-    if max_bucket is not None:
-        from pyspark.sql.window import Window
-
-        rk = F.row_number().over(Window.partitionBy("sig").orderBy(id_col))
-        s = s.withColumn("_rk", rk).filter(F.col("_rk") <= max_bucket).drop("_rk")
+    s = _cap_sig_bucket(s, id_col, max_bucket)
+    # output id type follows the input id column (string/uuid ids work
+    # like the catalyst variant, not just longs)
+    id_t = df.schema[id_col].dataType.simpleString()
+    id_dtype = object if id_t == "string" else "int64"
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         n = len(pdf)
         if n < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64"),
+            return pd.DataFrame({"id_a": pd.Series([], dtype=id_dtype),
+                                 "id_b": pd.Series([], dtype=id_dtype),
                                  "cos_sim": pd.Series([], dtype="float64")})
         ids = pdf[id_col].to_numpy()
         order = np.argsort(ids)
@@ -300,7 +326,7 @@ def cosine_neardup_pairs_arrow(df: DataFrame, dim: int,
 
     return (
         s.groupBy("sig")
-        .applyInPandas(score, "id_a long, id_b long, cos_sim double")
+        .applyInPandas(score, f"id_a {id_t}, id_b {id_t}, cos_sim double")
         .dropDuplicates(["id_a", "id_b"])
     )
 
@@ -326,11 +352,7 @@ def cosine_neardup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
     Pass ``max_bucket=None`` ONLY for small oracle-checked corpora where
     a SQL mirror must see the identical candidate set."""
     s = lsh_signature(df.select(id_col, vec_col), dim, bits=bits, vec_col=vec_col)
-    if max_bucket is not None:
-        from pyspark.sql.window import Window
-
-        rk = F.row_number().over(Window.partitionBy("sig").orderBy(id_col))
-        s = s.withColumn("_rk", rk).filter(F.col("_rk") <= max_bucket).drop("_rk")
+    s = _cap_sig_bucket(s, id_col, max_bucket)
     a = s.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "sig")
     b = s.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "sig")
     return (

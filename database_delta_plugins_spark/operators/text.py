@@ -38,12 +38,21 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataF
 def lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
     """Marker-word language ID: first language whose marker count >= 2
     wins (deterministic priority order), else 'und'. N-gram-heuristic
-    shaped, fully codegen'd (no UDF)."""
-    low = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    shaped, fully codegen'd (no UDF). Marker hits are exact TOKEN
+    counts (split + filter equality) — the earlier split-on-delimiter
+    count consumed the shared space between adjacent repeats ('the the'
+    counted 1, not 2)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+    def _eq(word: str):
+        # NOTE: F.filter treats a two-arg lambda as (element, index) —
+        # bind the marker via a closure, not a default arg
+        return lambda t: t == word
+
     expr = F.lit("und")
     for lang, words in reversed(LANG_MARKERS):
         hits = sum(
-            (F.size(F.split(low, f" {w} ")) - 1 for w in words),
+            (F.size(F.filter(toks, _eq(w))) for w in words),
             start=F.lit(0),
         )
         expr = F.when(hits >= 2, F.lit(lang)).otherwise(expr)
@@ -165,27 +174,37 @@ def canonicalize_url(url) -> F.Column:
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(u, r"\?(.*)$", 1)
     sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
-    return F.concat(
+    built = F.concat(
         scheme, F.lit("://"), host,
         F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
         path,
         F.when(query != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
     )
+    # scheme-less inputs ('example.com/page', protocol-relative '//…')
+    # pass through UNCHANGED — every rule above keys off the scheme, so
+    # canonicalizing them would collapse all such urls to one ':///'
+    # key and url-keyed LWW would merge unrelated pages
+    return F.when(scheme != "", built).otherwise(url)
 
 
 # PII patterns shared verbatim with the SQL oracle — RE2-safe (no
 # backreferences/lookaround; non-capturing groups only — both Java regex
 # and DuckDB RE2 accept them). Applied in this exact order (email first
-# so its digits are gone before the phone pass). The phone pattern
-# requires phone STRUCTURE (optional +country / (area), then
-# 3-digit[sep]3-4-digit[sep optional 3-4-digit]) rather than any long
-# digit run — ISO dates ('2020-01-01'), timestamps ('12:30') and numeric
-# table data must survive scrubbing; unseparated 10-digit runs are the
-# accepted recall trade.
+# so its digits are gone before the phone pass). The phone pattern is
+# an ALTERNATION requiring real phone evidence: a +country or (area)
+# prefix, or a word-bounded dash-separated 3[-3-4[-3-4]] run. Bare
+# space-separated digit groups ('1 000 000', 'revenue 2023 2024',
+# '555 000 9999' without any prefix) are NOT scrubbed — space-grouped
+# thousands are indistinguishable from space-grouped phones, and
+# corrupting numeric prose is worse than missing a bare phone (the
+# documented recall trade). ISO dates survive the dash branch because
+# no \b-aligned 3-digit group precedes their separators.
 PII_RULES = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    (r"(?:\+\d{1,3}[ -])?(?:\(\d{2,4}\)[ -]?)?\d{3}[ -]\d{3,4}(?:[ -]\d{3,4})?",
+    (r"\+\d{1,3}[ -](?:\(\d{2,4}\)[ -]?)?\d{3,4}[ -]\d{3,4}(?:[ -]\d{3,4})?"
+     r"|\(\d{2,4}\)[ -]?\d{3,4}[ -]\d{3,4}(?:[ -]\d{3,4})?"
+     r"|\b\d{3}-\d{3,4}(?:-\d{3,4})?\b",
      "<PHONE>"),
 ]
 

@@ -53,6 +53,9 @@ def write_time_ordered_stream(spark: SparkSession, src: DataFrame,
         *[F.percentile_approx(ts_col, i / n_chunks, 10_000).alias(f"q{i}")
           for i in range(1, n_chunks)]
     ).head()
+    if bounds is None:          # empty source: one empty chunk, no split
+        src.coalesce(1).write.mode("append").parquet(out_dir)
+        return
     edges = [bounds[f"q{i}"] for i in range(1, n_chunks)]
     lo = None
     for i in range(n_chunks):
@@ -61,7 +64,12 @@ def write_time_ordered_stream(spark: SparkSession, src: DataFrame,
         if lo is not None:
             part = part.filter(F.col(ts_col) > lo)
         if hi is not None:
-            part = part.filter(F.col(ts_col) <= hi)
+            cond = F.col(ts_col) <= hi
+            if lo is None:
+                # null-ts rows fail every range predicate; ride the
+                # FIRST chunk so chunking never changes the row set
+                cond = cond | F.col(ts_col).isNull()
+            part = part.filter(cond)
         part.coalesce(1).write.mode("append").parquet(out_dir)
         _time.sleep(1.1)  # distinct mtimes (FileStreamSource granularity)
         lo = hi
@@ -154,8 +162,10 @@ def _sessionize_fn(gap_sec: int):
         counts = np.diff(np.concatenate((firsts, [ts.size])))
         starts = ts[firsts]
         ends = ts[np.concatenate((bounds, [ts.size])) - 1]
-        # segment 0 continues the carried session (or starts fresh)
-        starts[0] = start_us
+        # segment 0 continues the carried session (or starts fresh): a
+        # late in-watermark event BELOW the carried start must lower
+        # session_start (the batch oracle reports min(ts) per session)
+        starts[0] = start_us if counts[0] == 0 else min(start_us, int(ts[0]))
         ends[0] = end_us if counts[0] == 0 else max(int(ends[0]), end_us)
         counts[0] += n0
         c_start, c_end, c_n = starts[:-1], ends[:-1], counts[:-1]

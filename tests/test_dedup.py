@@ -232,3 +232,24 @@ def test_sample_by_source_string_ids(spark):
     b = {r["doc_id"] for r in sample_by_source(
         df, {"src0": 1.0, "src1": 0.5}).collect()}
     assert a == b                         # deterministic
+
+
+def test_minhash_bands_must_divide(spark, sf_dir):
+    import pytest
+
+    from database_delta_plugins_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(docs, bands=128)
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(docs, bands=24)
+
+
+def test_sample_by_source_large_salt_no_overflow(spark):
+    from database_delta_plugins_spark.operators.dedup import sample_by_source
+
+    df = spark.createDataFrame([(i, "s") for i in range(100)],
+                               "doc_id: long, source: string")
+    n = sample_by_source(df, {"s": 0.5}, salt=1_700_000_000).count()
+    assert 20 < n < 80

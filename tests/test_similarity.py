@@ -256,3 +256,38 @@ def test_neardup_gemm_matches_catalyst(spark, sf_dir):
     capped = cosine_neardup_pairs_arrow(emb, dim=dim, threshold=0.0,
                                         bits=4, max_bucket=10)
     assert capped.count() <= (2 ** 4) * 45
+
+
+def test_zero_norm_embeddings_excluded(spark):
+    """review r3: a zero vector must not win top-k via NaN ordering nor
+    emit NaN near-dup pairs; catalyst and GEMM variants agree."""
+    from database_delta_plugins_spark.operators.similarity import (
+        cosine_neardup_pairs_arrow,
+    )
+
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    top = cosine_topk(df, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in top] == [0, 1]     # zero vector excluded
+    assert all(r["cos_sim"] == r["cos_sim"] for r in top)  # no NaN
+    pairs = cosine_neardup_pairs(df, dim=4, threshold=0.5, bits=2,
+                                 max_bucket=None).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+    pairs2 = cosine_neardup_pairs_arrow(df, dim=4, threshold=0.5, bits=2,
+                                        max_bucket=None).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs2} == {(0, 1)}
+
+
+def test_neardup_gemm_string_ids(spark):
+    """review r3: the GEMM scorer's output schema follows the id dtype."""
+    from database_delta_plugins_spark.operators.similarity import (
+        cosine_neardup_pairs_arrow,
+    )
+
+    rows = [("u/a", [1.0, 0.0]), ("u/b", [0.99, 0.01]), ("u/c", [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id: string, embedding: array<double>")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             cosine_neardup_pairs_arrow(df, dim=2, threshold=0.9, bits=1,
+                                        max_bucket=None).collect()}
+    assert pairs == {("u/a", "u/b")}

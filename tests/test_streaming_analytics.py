@@ -176,6 +176,7 @@ def _ref_sessionize(ts_us, carried, gap_us):
         if n and t - end > gap_us:
             closed.append((start, end, n))
             start, n = t, 0
+        start = min(start, t)   # late event below the carried start
         end = max(end, t)
         n += 1
     return closed, (start, end, n)

@@ -85,6 +85,9 @@ def test_canonicalize_url_rules(spark):
         ("http://Host.org", "http://host.org/"),
         # a '?' inside the fragment is NOT a query (fragment drops first)
         ("http://a.com/p#sec?x=1", "http://a.com/p"),
+        # scheme-less inputs pass through (never collapse to ':///')
+        ("example.com/page", "example.com/page"),
+        ("//cdn.a.com/x", "//cdn.a.com/x"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url: string")
     got = [r["c"] for r in
@@ -99,12 +102,18 @@ def test_scrub_pii_cases(spark):
         ("mail a.b+c@ex-ample.co.uk now", "mail <EMAIL> now"),
         ("ip 192.168.0.1 end", "ip <IP> end"),
         ("call +1 (555) 010-9999 ok", "call <PHONE> ok"),
-        ("call 555 010 9999 ok", "call <PHONE> ok"),
+        ("call +44 555 0100 now", "call <PHONE> now"),
+        ("dial (020) 7946-0958 pls", "dial <PHONE> pls"),
+        ("fax 555-0100 sent", "fax <PHONE> sent"),
         ("clean text stays", "clean text stays"),
-        # structure, not digit runs: dates/timestamps/tables survive
+        # evidence, not digit runs: dates/timestamps/thousands survive
         ("released 2021-06-15 12:30 rev 2020-01-01",
          "released 2021-06-15 12:30 rev 2020-01-01"),
         ("row 10 20 30 40 50 end", "row 10 20 30 40 50 end"),
+        ("about 1 000 000 rows", "about 1 000 000 rows"),
+        ("revenue 2023 2024 compare", "revenue 2023 2024 compare"),
+        # bare space-separated phone: the documented recall trade
+        ("call 555 010 9999 ok", "call 555 010 9999 ok"),
     ]
     df = spark.createDataFrame([(t,) for t, _ in cases], "t: string")
     got = [r["c"] for r in df.select(scrub_pii(F.col("t")).alias("c")).collect()]
