@@ -253,3 +253,22 @@ def test_sample_by_source_large_salt_no_overflow(spark):
                                "doc_id: long, source: string")
     n = sample_by_source(df, {"s": 0.5}, salt=1_700_000_000).count()
     assert 20 < n < 80
+
+
+def test_shingles_arrow_matches_catalyst(spark, sf_dir):
+    """Arrow shingle kernel emits the identical arrays (content AND
+    first-occurrence order) as the Catalyst expression — incl. the
+    short-doc single-shingle case."""
+    from database_delta_plugins_spark.operators.dedup import shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").unionByName(
+        spark.createDataFrame([(10**9, "one two")],
+                              "doc_id: long, text: string")
+        .withColumn("lang", F.lit("en")).withColumn("source", F.lit("x"))
+        .withColumn("n_chars", F.lit(7)))
+    for n in (3, 5):
+        a = shingles(docs.select("doc_id", "text"), "text", n=n,
+                     impl="arrow").select("doc_id", F.col("shingles").alias("sa"))
+        c = shingles(docs.select("doc_id", "text"), "text", n=n,
+                     impl="catalyst").select("doc_id", F.col("shingles").alias("sc"))
+        assert a.join(c, "doc_id").filter(F.col("sa") != F.col("sc")).count() == 0
