@@ -47,22 +47,33 @@ def zero_date_to_null(str_col: Column) -> Column:
     return F.when(is_zero, F.lit(None).cast("string")).otherwise(str_col)
 
 
-# unsigned ints widen one size up (value may exceed the signed range)
+# unsigned ints widen one size up (value may exceed the signed range):
+# target type + bit width of the SOURCE for two's-complement reinterpret
 _UNSIGNED_WIDEN = {
-    "tinyint": "int",
-    "smallint": "int",
-    "int": "bigint",
-    "bigint": "decimal(20,0)",
+    "tinyint": ("int", 8),
+    "smallint": ("int", 16),
+    "int": ("bigint", 32),
+    "bigint": ("decimal(20,0)", 64),
 }
 
 
 def widen_unsigned(col: Column, source_type: str) -> Column:
     """UNSIGNED column widening: tinyint->int, smallint->int, int->bigint,
-    bigint->decimal(20,0)."""
-    target = _UNSIGNED_WIDEN.get(source_type.lower())
-    if target is None:
+    bigint->decimal(20,0) — REINTERPRETING two's-complement negatives
+    (a TINYINT UNSIGNED 255 arrives as signed byte -1; the widened value
+    must be 255, not -1 — the reference adds 2^N for negative raw
+    values, MySqlValueConverters.java:270-300). Non-negative values pass
+    through the plain cast."""
+    rule = _UNSIGNED_WIDEN.get(source_type.lower())
+    if rule is None:
         raise ValueError(f"no unsigned widening rule for {source_type!r}")
-    return col.cast(target)
+    target, bits = rule
+    widened = col.cast(target)
+    offset = F.lit(1 << bits).cast(target) if bits < 64 \
+        else F.lit("18446744073709551616").cast(target)
+    # final cast pins the declared target type (decimal addition widens
+    # precision to decimal(21,0); values always fit the target range)
+    return F.when(col < 0, widened + offset).otherwise(widened).cast(target)
 
 
 def decode_enum(idx_col: Column, labels: list[str]) -> Column:
@@ -77,13 +88,16 @@ def decode_enum(idx_col: Column, labels: list[str]) -> Column:
 
 
 def decode_set(mask_col: Column, labels: list[str]) -> Column:
-    """MySQL SET: bitmask -> comma-joined labels in definition order."""
+    """MySQL SET: bitmask -> comma-joined labels in definition order.
+    NULL mask stays NULL (concat_ws would silently collapse it to '',
+    making SQL NULL indistinguishable from the empty set mask=0)."""
     parts = [
         F.when(F.shiftrightunsigned(mask_col.cast("long"), i).bitwiseAND(F.lit(1)) == 1,
                F.lit(lab))
         for i, lab in enumerate(labels)
     ]
-    return F.concat_ws(",", F.filter(F.array(*parts), lambda x: x.isNotNull()))
+    joined = F.concat_ws(",", F.filter(F.array(*parts), lambda x: x.isNotNull()))
+    return F.when(mask_col.isNull(), F.lit(None).cast("string")).otherwise(joined)
 
 
 def time_over_24h_micros(hours: Column, minutes: Column, seconds: Column) -> Column:

@@ -56,7 +56,13 @@ def make_synth_html(pad_bytes: int = 0):
 
     @pandas_udf(BinaryType())
     def synth_html_padded(text: pd.Series, lang: pd.Series) -> pd.Series:
-        lang_f = lang.fillna("und")
+        # lang is interpolated into an ATTRIBUTE: strip anything that
+        # could close the attribute/tag ('"', '<', '>') so a hostile
+        # lang value can never break the extract_text(synth_html(t)) == t
+        # byte-identity invariant (text itself is escaped below)
+        lang_f = lang.fillna("und").map(
+            lambda l: "".join(c for c in l if c not in '"<>')
+            if isinstance(l, str) else "und")
         head = lang_f.map(lambda l: _HTML_HEAD.format(lang=l))
         body = _escape(text)
         if pad_bytes > 0:

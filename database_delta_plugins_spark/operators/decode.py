@@ -21,8 +21,12 @@ _OP_MAP = {"c": "I", "r": "I", "u": "U", "d": "D"}
 def split_ddl(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """D1 envelope split: (dml_df, ddl_df). DDL records are control rows
     with op='ddl' (reference distinguishes by record layout:
-    MySqlRecordConsumer.java:142-154)."""
-    return df.filter(F.col("op") != "ddl"), df.filter(F.col("op") == "ddl")
+    MySqlRecordConsumer.java:142-154). Null-safe: a malformed record
+    with op=NULL routes to the DML side where it is COUNTED as an
+    unknown-op drop (a plain op != 'ddl' filter would discard it
+    silently, unaudited)."""
+    is_ddl = F.col("op").eqNullSafe("ddl")
+    return df.filter(~is_ddl), df.filter(is_ddl)
 
 
 def op_type_expr(op_col: str = "op") -> Column:

@@ -61,7 +61,14 @@ def batch_audit_fast(batch_df: DataFrame) -> tuple[list[dict], list[tuple[int, s
     1.44M-event epoch at local[8] — per-epoch fixed job cost is what
     bounds streaming throughput. Returns None when the batch is not
     file-backed (constructed DataFrames in tests) — caller falls back to
-    batch_audit."""
+    batch_audit.
+
+    Semantics note: footer-derived per-file rows/lsn ranges INCLUDE any
+    DDL control rows in the file (the binlog-file analogue also counts
+    control events in its ranges); batch_audit's scan-based rows exclude
+    them. The difference is at most the batch's DDL count and only
+    matters for batches carrying DDL, whose segments re-aggregate
+    per-segment lineage anyway (CDCPipeline._grouped_segment_lineage)."""
     import pyarrow.parquet as pq
 
     files = sorted(batch_df.inputFiles())
@@ -92,14 +99,16 @@ def batch_audit_fast(batch_df: DataFrame) -> tuple[list[dict], list[tuple[int, s
     # ONE probe job for both control-row kinds. The disjunctive filter
     # still prunes on footer stats for the common all-DML batch: the ddl
     # chunk is all-null and op's dictionary is {c,r,u,d}, so row groups
-    # are skipped without decoding.
+    # are skipped without decoding. Null-safe: op=NULL (malformed
+    # record) must surface as unknown, not vanish under three-valued
+    # logic — both disjuncts remain pushable predicates.
     is_ddl = F.col("ddl").isNotNull()
-    known = F.col("op").isin("c", "r", "u", "d", "ddl")
+    unknown_op = F.col("op").isNull() | ~F.col("op").isin("c", "r", "u", "d", "ddl")
     probe = (
-        batch_df.filter(is_ddl | ~known)
+        batch_df.filter(is_ddl | unknown_op)
         .groupBy(F.spark_partition_id().alias("partition"))
         .agg(
-            F.sum((~known).cast("long")).alias("unknown"),
+            F.sum(unknown_op.cast("long")).alias("unknown"),
             F.collect_list(
                 F.when(is_ddl, F.struct("lsn", "ddl", "table_name"))
             ).alias("ddls"),
@@ -120,7 +129,8 @@ def batch_audit_fast(batch_df: DataFrame) -> tuple[list[dict], list[tuple[int, s
     return lineage, sorted(ddls, key=lambda x: x[0])
 
 
-def batch_audit(batch_df: DataFrame) -> tuple[list[dict], list[tuple[int, str]]]:
+def batch_audit(batch_df: DataFrame
+                ) -> tuple[list[dict], list[tuple[int, str, str | None]]]:
     """ONE narrow agg job producing everything the per-epoch driver logic
     needs from the raw batch: per-input-partition offset-range lineage,
     the unknown-op drop count, and the batch's DDL control rows.
@@ -132,9 +142,11 @@ def batch_audit(batch_df: DataFrame) -> tuple[list[dict], list[tuple[int, str]]]
 
     Returns (partition_lineage_rows,
              [(lsn, ddl_json, table_name), ...] sorted by lsn).
+    Null-safe op handling: a NULL op row counts as a DML row with an
+    unknown op (matching split_ddl/map_opcode), never a silent drop.
     """
-    is_ddl = F.col("op") == "ddl"
-    known = F.col("op").isin("c", "r", "u", "d")
+    is_ddl = F.col("op").eqNullSafe("ddl")
+    known = F.col("op").isNotNull() & F.col("op").isin("c", "r", "u", "d")
     rows = (
         batch_df.groupBy(F.spark_partition_id().alias("partition"))
         .agg(

@@ -294,10 +294,14 @@ def ddl_events_df(spark: SparkSession, ddls: list[tuple[int, str]]) -> DataFrame
     MySqlAntlrDdlParser.java); our log carries structured JSON descriptors
     instead, e.g. {"action":"add_column","name":"fetch_status","type":"int"}.
     """
+    from database_delta_plugins_spark.streaming.pipeline import (
+        event_envelope_schema,
+    )
+
     rows = [(lsn, 0, "ddl", "pages", None, None, EPOCH_MS + lsn * 1000, False, f"ddl:{lsn}", ddl)
             for lsn, ddl in ddls]
-    ref = rich_events_df(spark, "/root/testdata/sf0.001", with_html=False).schema
-    return spark.createDataFrame(rows, schema=ref)
+    # the envelope schema is static — no fixture read needed to get it
+    return spark.createDataFrame(rows, schema=event_envelope_schema())
 
 
 def write_event_log(

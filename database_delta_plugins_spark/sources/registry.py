@@ -55,9 +55,23 @@ class TableAssessment:
 def assess_schema(name: str, schema: T.StructType, key: str | None = None) -> TableAssessment:
     """Per-column support verdicts + table-level problems (the no-PK rule:
     reference throws on null key, SqlServerRecordConsumer.java:129-133)."""
+    def _contains_unsupported(dt: T.DataType) -> bool:
+        # containers of unsupported element types must not green-light
+        # (array<interval>, map<k, interval>, struct{..interval..})
+        if isinstance(dt, T.CalendarIntervalType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return _contains_unsupported(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return (_contains_unsupported(dt.keyType)
+                    or _contains_unsupported(dt.valueType))
+        if isinstance(dt, T.StructType):
+            return any(_contains_unsupported(f.dataType) for f in dt.fields)
+        return False
+
     out = TableAssessment(table=name)
     for f in schema.fields:
-        if isinstance(f.dataType, T.CalendarIntervalType):
+        if _contains_unsupported(f.dataType):
             out.columns.append(ColumnAssessment(f.name, f.dataType.simpleString(), NO,
                                                 "interval has no stable storage form"))
         elif isinstance(f.dataType, _YES_TYPES):
@@ -115,9 +129,14 @@ def create_database(root: str, name: str) -> str:
     """DD4 database-scope op: a database is a directory of tables under
     ``root`` (the catalog namespace analogue; reference emits
     CREATE_DATABASE ops, mysql/MySqlRecordConsumer.java:270-283).
-    Idempotent."""
+    Idempotent; REVIVES a previously dropped database (the drop
+    tombstone is cleared — a legal CDC drop-then-create sequence must
+    not leave the namespace permanently invisible)."""
     p = os.path.join(root, name)
     os.makedirs(p, exist_ok=True)
+    tomb = os.path.join(p, "_DROPPED")
+    if os.path.exists(tomb):
+        os.remove(tomb)
     return p
 
 

@@ -537,3 +537,50 @@ def test_bootstrap_snapshot_string_html_not_double_encoded(spark, tmp_path):
     )
     t = p.bootstrap(replicate_existing_data=True, snapshot_df=snap_df)
     assert t.read().head()["html"] == "deadbeef"
+
+
+def test_null_op_rows_counted_not_silently_dropped(spark, sf_dir, tmp_path):
+    """review r3: a malformed record with op=NULL (e.g. a JSON event
+    missing the field) must be COUNTED as an unknown-op drop by the
+    audit and excluded from the apply — not vanish under three-valued
+    logic."""
+    from pyspark.sql import types as T
+
+    from database_delta_plugins_spark.operators.decode import split_ddl
+    from database_delta_plugins_spark.plans.lineage import (
+        batch_audit,
+        batch_audit_fast,
+    )
+    from database_delta_plugins_spark.sources.generator import rich_events_df
+    from database_delta_plugins_spark.streaming.pipeline import (
+        event_envelope_schema,
+    )
+
+    base = rich_events_df(spark, sf_dir, revs=2, with_html=False)
+    nullable = T.StructType([
+        T.StructField(f.name, f.dataType, True)
+        for f in event_envelope_schema().fields])
+    weird = spark.createDataFrame(
+        base.limit(2).withColumn("op", F.lit(None).cast("string")).collect(),
+        nullable)
+    log = str(tmp_path / "log_nullop")
+    spark.createDataFrame(base.collect(), nullable).unionByName(weird) \
+        .repartitionByRange(2, "lsn").write.parquet(log)
+    raw = spark.read.parquet(log)
+
+    dml, ddl = split_ddl(raw)
+    n_base_dml = base.filter(F.col("op") != "ddl").count()
+    assert dml.count() == n_base_dml + 2       # null-op rows on the DML side
+
+    plin, _ = batch_audit(raw)
+    assert sum(p["unknown_ops"] for p in plin) == 2
+    fast = batch_audit_fast(raw)
+    assert fast is not None
+    assert sum(p["unknown_ops"] for p in fast[0]) == 2
+
+    # e2e: the pipeline counts and skips them
+    p = CDCPipeline(spark, log, str(tmp_path / "t_no"), str(tmp_path / "c_no"),
+                    num_buckets=2)
+    p.run_to_completion()
+    assert sum(r.get("events_skipped_unknown_op", 0)
+               for r in p.epoch_lineage) == 2

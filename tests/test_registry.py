@@ -44,3 +44,31 @@ def test_registry_lists_parquet_and_laketables(spark, sf_dir, tmp_path):
     assert names2 == ["pages"]
     d2 = describe_table(spark, str(tmp_path), "pages")
     assert d2["format"] == "laketable" and d2["key"] == "url"
+
+
+def test_create_database_revives_dropped(tmp_path, spark):
+    from database_delta_plugins_spark.sources import registry
+
+    root = str(tmp_path)
+    registry.create_database(root, "db1")
+    registry.drop_database(root, "db1")
+    registry.create_database(root, "db1")
+    import os
+    assert not os.path.exists(os.path.join(root, "db1", "_DROPPED"))
+
+
+def test_assess_schema_recurses_containers(spark):
+    from pyspark.sql import types as T
+
+    from database_delta_plugins_spark.sources.registry import assess_schema
+
+    s = T.StructType([
+        T.StructField("ok", T.ArrayType(T.StringType())),
+        T.StructField("bad", T.ArrayType(T.CalendarIntervalType())),
+        T.StructField("bad2", T.StructType(
+            [T.StructField("x", T.CalendarIntervalType())])),
+    ])
+    a = assess_schema("t", s)
+    verdicts = {c.name: c.verdict for c in a.columns}
+    assert verdicts["ok"] == "YES"
+    assert verdicts["bad"] == "NO" and verdicts["bad2"] == "NO"

@@ -111,3 +111,39 @@ def test_binary_handling_modes(spark):
     assert bytes(r["b"]) == payload
     assert r["h"] == payload.hex()
     assert base64.b64decode(r["b64"]) == payload
+
+
+def test_widen_unsigned_reinterprets_negatives(spark):
+    """review r3: unsigned widening must reinterpret two's-complement
+    negatives (TINYINT UNSIGNED 255 arrives as signed -1)."""
+    from pyspark.sql import types as T
+
+    from database_delta_plugins_spark.functions.types import widen_unsigned
+
+    df = spark.createDataFrame(
+        [(-1, -1, -1, -1), (5, 5, 5, 5)],
+        T.StructType([
+            T.StructField("b", T.ByteType()),
+            T.StructField("s", T.ShortType()),
+            T.StructField("i", T.IntegerType()),
+            T.StructField("l", T.LongType()),
+        ]))
+    got = df.select(
+        widen_unsigned(F.col("b"), "tinyint").alias("b"),
+        widen_unsigned(F.col("s"), "smallint").alias("s"),
+        widen_unsigned(F.col("i"), "int").alias("i"),
+        widen_unsigned(F.col("l"), "bigint").cast("string").alias("l"),
+    ).collect()
+    assert (got[0]["b"], got[0]["s"], got[0]["i"], got[0]["l"]) == (
+        255, 65535, 4294967295, "18446744073709551615")
+    assert (got[1]["b"], got[1]["s"], got[1]["i"], got[1]["l"]) == (
+        5, 5, 5, "5")
+
+
+def test_decode_set_null_mask_stays_null(spark):
+    from database_delta_plugins_spark.functions.types import decode_set
+
+    df = spark.createDataFrame([(None,), (0,), (3,)], "m: long")
+    got = [r["s"] for r in df.select(
+        decode_set(F.col("m"), ["a", "b"]).alias("s")).collect()]
+    assert got == [None, "", "a,b"]
