@@ -689,6 +689,37 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode e2e (r4): synth_png_media_df builds genuine PNG
+    byte streams executor-side (all five scanline filters, gray + RGB),
+    decode_media(fake=False) inflates + unfilters them with the stdlib
+    codec, and the feature is the DECODED-PIXEL histogram. Canonicalized
+    to exact integer counts (feature * n_pixels; n_pixels < 2^24 is
+    float32-lossless) so the oracle — which derives the histogram from
+    the generative pixel formula, never touching PNG bytes — matches
+    byte-for-byte. Agreement proves decode inverts encode."""
+    from database_delta_plugins_spark.operators.multimodal import (
+        decode_media,
+        synth_png_media_df,
+    )
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    media = synth_png_media_df(ids)
+    d = decode_media(media, fake=False, feature_dim=8)
+    mid = F.col("media_id")
+    npix = ((8 * (mid % 5 + 1)) * (8 * (mid % 4 + 1))
+            * F.when(mid % 2 == 0, F.lit(1)).otherwise(F.lit(3)))
+    counts = F.transform(
+        F.col("feature"),
+        lambda x: F.round(x * npix.cast("float"), 0).cast("int"),
+    )
+    return d.select(
+        "media_id",
+        F.concat_ws(",", F.transform(counts, lambda c: c.cast("string")))
+        .alias("pixel_hist"),
+    )
+
+
 def q_extract_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-identity invariant: extract_text(synth_html(text)) == text.
     Returns violations — must be empty (rows-only check + pytest)."""
@@ -748,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embed_neardup": q_embed_neardup,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_png": q_multimodal_png,
         "extract_text_roundtrip": q_extract_text_roundtrip,
     }
 
@@ -1177,12 +1209,17 @@ def oracle_sql() -> dict[str, str]:
             FROM parts
           )
           SELECT doc_id, url,
+                 -- scheme-less passthrough mirrors the engine rule
+                 -- (operators/text.py canonicalize_url): a URL with no
+                 -- scheme is returned unchanged, never rebuilt
+                 CASE WHEN scheme = '' THEN url ELSE
                  scheme || '://' || host
                  || CASE WHEN port != '' AND NOT (scheme = 'http' AND port = '80')
                               AND NOT (scheme = 'https' AND port = '443')
                          THEN ':' || port ELSE '' END
                  || path
-                 || CASE WHEN q != '' THEN '?' || sq ELSE '' END AS canon_url
+                 || CASE WHEN q != '' THEN '?' || sq ELSE '' END
+                 END AS canon_url
           FROM norm
         """,
         "pii_scrub": """
@@ -1357,6 +1394,30 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _jaccard_at(0.3),
         "simhash": _jaccard_at(0.3),
         "multimodal_decode": _multimodal_oracle(),
+        "multimodal_png": """
+          WITH ids AS (SELECT doc_id AS media_id FROM documents),
+          dims AS (SELECT media_id,
+                          8 * (media_id % 5 + 1) AS w,
+                          8 * (media_id % 4 + 1) AS h,
+                          CASE WHEN media_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+                   FROM ids),
+          -- DuckDB range() takes no lateral column args: cross a static
+          -- max-dims grid (w<=40, h<=32, ch<=3 by construction) and
+          -- filter to each image's true extent
+          px AS (SELECT d.media_id,
+                        ((x.range * x.range + 3 * y.range * y.range
+                          + 11 * c.range + d.media_id) % 256) % 8 AS bin
+                 FROM dims d, range(40) x, range(32) y, range(3) c
+                 WHERE x.range < d.w AND y.range < d.h AND c.range < d.ch),
+          cnt AS (SELECT media_id, bin, count(*) AS n FROM px GROUP BY 1, 2),
+          grid AS (SELECT media_id, b.range AS bin FROM ids, range(8) b),
+          filled AS (SELECT g.media_id, g.bin, coalesce(c.n, 0) AS n
+                     FROM grid g LEFT JOIN cnt c
+                     ON g.media_id = c.media_id AND g.bin = c.bin)
+          SELECT media_id,
+                 string_agg(CAST(n AS VARCHAR), ',' ORDER BY bin) AS pixel_hist
+          FROM filled GROUP BY media_id
+        """,
         # byte-identity invariant: the violation set must be EMPTY
         "extract_text_roundtrip": """
           SELECT doc_id, text, CAST(NULL AS VARCHAR) AS rt

@@ -214,6 +214,72 @@ def run_queries() -> dict:
     return out
 
 
+LLM_SCALE_HEADS = ["minhash_lsh", "embed_neardup", "dedup_clusters",
+                   "training_corpus"]
+
+
+def run_llm_ops(cores: int) -> dict:
+    """One pinned pass over the four heaviest LLM-data ops at local[N]
+    (r4 directive #4: the 0.8-scaling gate covered only the CDC apply;
+    these get the same two-level pinned protocol). shuffle_partitions
+    is held CONSTANT across levels (a real cluster keeps the shuffle
+    layout as executors grow — only the slot count changes)."""
+    import __spark_entry__ as entrymod
+    from database_delta_plugins_spark.session import get_spark
+    from tools.proc_cpu import TreeCpuSampler
+
+    spark = get_spark(master=f"local[{cores}]",
+                      app_name=f"bench-llm-{cores}", shuffle_partitions=8)
+    qs = entrymod.queries()
+    # untimed warmup: JVM JIT + codegen + Arrow/pandas worker spin-up
+    qs["dedup_exact"](spark, SF_DIR).count()
+    qs["ann_cosine_topk"](spark, SF_DIR).count()
+    out = {}
+    load0 = _loadavg()
+    t_all = time.time()
+    with TreeCpuSampler(interval=0.5) as cpu:
+        for name in LLM_SCALE_HEADS:
+            t0 = time.time()
+            qs[name](spark, SF_DIR).count()
+            out[name] = round(time.time() - t0, 2)
+    wall = time.time() - t_all
+    spark.stop()
+    return {"cores": cores, "ops": out, "wall_sec": round(wall, 2),
+            "cpu_sec": round(cpu.cpu_seconds(), 1),
+            "load_before": load0, "load_after": _loadavg()}
+
+
+def _llm_scaling(runs_per_level: int = 2) -> dict:
+    """Pinned 1 vs 4 physical-core runs of the LLM-data ops; per-op
+    min-of-N at each level, efficiency = t1 / (4 * t4)."""
+    raw: dict[int, list[dict]] = {1: [], 4: []}
+    for _ in range(runs_per_level):
+        for c in (1, 4):          # interleaved, like the apply gate
+            _wait_for_quiet()
+            p = subprocess.run(
+                _pin_cmd(c) + [sys.executable, os.path.abspath(__file__),
+                               "--llmq-cores", str(c)],
+                capture_output=True, text=True, cwd=REPO, timeout=3600)
+            line = next((ln for ln in p.stdout.splitlines()
+                         if ln.startswith("WORKER_RESULT ")), None)
+            if line is None:
+                sys.stderr.write(p.stdout[-2000:] + p.stderr[-4000:])
+                raise RuntimeError(f"llm-ops worker (cores={c}) failed")
+            raw[c].append(json.loads(line[len("WORKER_RESULT "):]))
+    out = {}
+    for op in LLM_SCALE_HEADS:
+        t1 = min(r["ops"][op] for r in raw[1])
+        t4 = min(r["ops"][op] for r in raw[4])
+        out[op] = {"local1_sec": t1, "local4_sec": t4,
+                   "efficiency_1_to_4": round(t1 / (4 * t4), 3)}
+    out["_runs"] = {c: [r["ops"] for r in rs] for c, rs in raw.items()}
+    out["_cpu_sec"] = {c: min(r["cpu_sec"] for r in rs)
+                       for c, rs in raw.items()}
+    out["_loads"] = {c: [[r["load_before"], r["load_after"]] for r in rs]
+                     for c, rs in raw.items()}
+    return out
+
+
 def _pin_cmd(cores: int) -> list[str]:
     """Hard N-CPU affinity mask for the apply worker — the cgroup CPU
     limit an executor pod has on K8s/YARN. Without it the low level
@@ -257,6 +323,10 @@ def main() -> None:
         n = ensure_event_log()
         print("WORKER_RESULT " + json.dumps(run_apply(cores, n)))
         return
+    if "--llmq-cores" in sys.argv:
+        cores = int(sys.argv[sys.argv.index("--llmq-cores") + 1])
+        print("WORKER_RESULT " + json.dumps(run_llm_ops(cores)))
+        return
 
     n_events = ensure_event_log()
     # Primary gate levels N=1 -> 4N=4: both levels use PHYSICAL cores
@@ -294,6 +364,9 @@ def main() -> None:
         # (>1 means the 4N level spent LESS cpu per event)
         cpu_eff = round(results[lo]["cpu_sec"] / results[hi]["cpu_sec"], 3)
     qtimes = run_queries()
+    llm = (_llm_scaling()
+           if os.environ.get("BENCH_LLM_SCALE", "1") == "1" and CPUS >= 4
+           else {})
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
@@ -361,6 +434,21 @@ def main() -> None:
                 )
                 if sec else ""
             )
+            + (
+                "## LLM-data-op scaling (same pinned 1→4 protocol, "
+                "shuffle layout constant)\n\n"
+                "| op | local[1] (s) | local[4] (s) | efficiency 1→4 |\n"
+                "|---|---|---|---|\n"
+                + "".join(
+                    f"| {op} | {llm[op]['local1_sec']} | "
+                    f"{llm[op]['local4_sec']} | "
+                    f"{llm[op]['efficiency_1_to_4']} |\n"
+                    for op in LLM_SCALE_HEADS
+                )
+                + f"\nPer-level loads: {llm['_loads']}; pinned process-tree "
+                f"cpu_sec per full pass: {llm['_cpu_sec']}\n\n"
+                if llm else ""
+            )
             + "Headline query times (sec) at local[%d], %s:\n\n" % (CPUS, _sf_tag())
             + "".join(f"- {k}: {v}\n" for k, v in qtimes.items() if not k.endswith("_rows"))
         )
@@ -386,6 +474,9 @@ def main() -> None:
         if 16 in sec and hi == 4:
             out["scaling_efficiency_4_to_16"] = round(
                 (sec[16]["events_per_sec"] / results[hi]["events_per_sec"]) / 4, 3)
+    if llm:
+        out["llm_ops_scaling"] = {
+            op: llm[op] for op in LLM_SCALE_HEADS}
     print(json.dumps(out))
 
 

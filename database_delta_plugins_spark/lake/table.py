@@ -50,10 +50,11 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -363,6 +364,7 @@ class LakeTable:
         base_groups: dict[int, list[str]] = {}
         delta_groups: dict[int, list[str]] = {}
         delta_rows = 0
+        delta_rows_unknown = False
         for b, info in snap["buckets"].items():
             if buckets is not None and int(b) not in buckets:
                 continue
@@ -372,8 +374,14 @@ class LakeTable:
                     f"{self.path}/{p}" for p in seg["files"]
                 )
                 if i > 0:
-                    # manifest row stats (None for legacy compact segments)
-                    delta_rows += seg["rows"] if seg.get("rows") else 0
+                    # manifest row stats (None for legacy v2 segments).
+                    # A stat-less delta is UNSIZEABLE: counting it as 0
+                    # could broadcast an arbitrarily large delta (driver
+                    # OOM), so it forces the shuffle fallback instead.
+                    if seg.get("rows") is None:
+                        delta_rows_unknown = True
+                    else:
+                        delta_rows += seg["rows"]
 
         def _read_groups(groups: dict[int, list[str]]) -> DataFrame | None:
             parts = []
@@ -409,7 +417,7 @@ class LakeTable:
             return self._resolve_lww_shuffle(base, snap["key"])
         limit = int(self.snap.get("properties", {}).get(
             "mor_resolve_broadcast_rows", 4_000_000))
-        if delta_rows > limit:
+        if delta_rows_unknown or delta_rows > limit:
             return self._resolve_lww_shuffle(base.unionByName(delta), snap["key"])
         return self._resolve_lww_broadcast(base, delta, snap["key"])
 
@@ -800,20 +808,23 @@ class LakeTable:
                 "mor_resolve_broadcast_rows", 4_000_000))
             result = self._cow_merge_result(upd, tgt, key, payload_names,
                                             broadcast_keys=n_upd <= limit)
-        result = result.persist()
+        # ONE pass over the merged result (r4 — the persist + stats-agg
+        # + write double materialization was the cdc_merge_upsert hot
+        # spot, and at 10^10 rows it CACHED the whole merged table):
+        # global conflict accounting rides the write via observe(), and
+        # per-bucket (rows, lsn range) comes from the written parquet
+        # FOOTERS — the same shape the mor commit already uses.
+        obs = Observation()
+        result = result.observe(
+            obs,
+            F.sum(F.col("_is_deleted").cast("long")).alias("tombstones"),
+            F.sum(F.col("_took_update").cast("long")).alias("applied"),
+            F.sum((F.col("_matched") & ~F.col("_took_update")).cast("long")
+                  ).alias("conflicts_lost"),
+            F.sum((F.col("_matched") & F.col("_took_update")).cast("long")
+                  ).alias("updated"),
+        )
         try:
-            t0 = time.time()
-            stats_rows = result.groupBy("_bucket").agg(
-                F.count(F.lit(1)).alias("rows"),
-                F.min("_lsn").alias("min_lsn"),
-                F.max("_lsn").alias("max_lsn"),
-                F.sum(F.col("_is_deleted").cast("long")).alias("tombstones"),
-                F.sum(F.col("_took_update").cast("long")).alias("applied"),
-                F.sum((F.col("_matched") & ~F.col("_took_update")).cast("long")).alias("conflicts_lost"),
-                F.sum((F.col("_matched") & F.col("_took_update")).cast("long")).alias("updated"),
-            ).collect()
-            t_join = time.time() - t0
-
             new_version = self.version + 1
             # unique data dir per attempt: the exclusive v{N}.json create in
             # _write_snapshot is the single commit-conflict point; a losing
@@ -830,31 +841,28 @@ class LakeTable:
             )
             t_write = time.time() - t0
         finally:
-            result.unpersist()
             if upd_persisted is not None:
                 upd_persisted.unpersist()
 
-        per_bucket = {
-            int(r["_bucket"]): {
-                "rows": int(r["rows"]),
-                "min_lsn": int(r["min_lsn"]) if r["min_lsn"] is not None else None,
-                "max_lsn": int(r["max_lsn"]) if r["max_lsn"] is not None else None,
-            }
-            for r in stats_rows
-        }
+        g = obs.get
+        per_bucket, footer_affected = self._bucket_stats_from_footers(commit_dir)
+        lsns = [b["min_lsn"] for b in per_bucket.values()
+                if b["min_lsn"] is not None]
+        lsns_max = [b["max_lsn"] for b in per_bucket.values()
+                    if b["max_lsn"] is not None]
         totals = {
-            "rows_applied": sum(int(r["applied"]) for r in stats_rows),
-            "rows_updated": sum(int(r["updated"]) for r in stats_rows),
-            "conflicts_lost": sum(int(r["conflicts_lost"]) for r in stats_rows),
-            "tombstones": sum(int(r["tombstones"]) for r in stats_rows),
-            "min_lsn": min((int(r["min_lsn"]) for r in stats_rows if r["min_lsn"] is not None), default=None),
-            "max_lsn": max((int(r["max_lsn"]) for r in stats_rows if r["max_lsn"] is not None), default=None),
+            "rows_applied": int(g["applied"] or 0),
+            "rows_updated": int(g["updated"] or 0),
+            "conflicts_lost": int(g["conflicts_lost"] or 0),
+            "tombstones": int(g["tombstones"] or 0),
+            "min_lsn": min(lsns, default=None),
+            "max_lsn": max(lsns_max, default=None),
         }
         return self._finalize_commit(
             eid=eid, new_version=new_version, affected=affected,
             commit_rel=commit_rel, commit_dir=commit_dir,
             per_bucket=per_bucket, totals=totals,
-            phase_sec={"lww": round(t_lww, 2), "join_stats": round(t_join, 2),
+            phase_sec={"lww": round(t_lww, 2), "join_stats": 0.0,
                        "write": round(t_write, 2)},
             extra_lineage=extra_lineage, append_segments=False)
 
@@ -916,7 +924,6 @@ class LakeTable:
         """Merge-on-read commit in ONE Spark action: batch totals ride
         the write via observe(); per-bucket segment stats (rows, _lsn
         min/max) come from the written parquet footers."""
-        from pyspark.sql import Observation
 
         result = upd.select(
             F.col(key),
@@ -1267,8 +1274,7 @@ class LakeTable:
         if purge_tombstones:
             frontier = self.last_committed_lsn()
             if frontier is not None:
-                from pyspark.sql import Observation
-
+        
                 cond = F.col("_is_deleted") & (F.col("_lsn") <= F.lit(frontier))
                 # purge count rides the write via observe() — ONE job,
                 # no separate existence probe re-running the whole
@@ -1391,7 +1397,20 @@ class LakeTable:
     def expire_snapshots(self, keep_last: int = 3) -> dict:
         """Delete data files and metadata unreferenced by the most recent
         ``keep_last`` snapshots (time travel beyond that horizon stops
-        working — standard retention semantics)."""
+        working — standard retention semantics).
+
+        Concurrency: like every mutator, expire_snapshots is called from
+        the single maintenance/writer thread. Under ``strict_occ``
+        multi-writer mode it additionally must not race a COMMITTING
+        writer, which writes its bucket manifests BEFORE the
+        put-if-absent commit point — an unreferenced manifest may be a
+        commit in flight, not garbage. Manifest GC therefore only
+        deletes manifests whose encoded target version is <= the current
+        committed version: an in-flight writer always targets
+        current+1 (kept), while a manifest targeting <= current either
+        belonged to a commit that already resolved (referenced ->
+        protected, expired -> garbage) or to one that can never succeed
+        (its v{target}.json exists, so its put-if-absent must fail)."""
         meta = f"{self.path}/_meta"
         versions = sorted(
             int(fn[1:-5]) for fn in self.io.list(meta)
@@ -1422,12 +1441,21 @@ class LakeTable:
             if v not in keep:
                 self.io.delete(f"{meta}/v{v}.json")
                 removed_meta += 1
-        # GC bucket manifests referenced only by expired snapshots
+        # GC bucket manifests referenced only by expired snapshots.
+        # In-flight-writer guard (see docstring): never delete a
+        # manifest targeting a version NEWER than the committed one —
+        # it may belong to a writer between manifest write and the
+        # put-if-absent commit point.
         removed_manifests = 0
+        cur_v = self.version
         for fn in self.io.list(f"{meta}/manifests"):
-            if fn.endswith(".json") and f"manifests/{fn}" not in referenced_manifests:
-                self.io.delete(f"{meta}/manifests/{fn}")
-                removed_manifests += 1
+            if not fn.endswith(".json") or f"manifests/{fn}" in referenced_manifests:
+                continue
+            m = re.match(r"b\d+-v(\d+)-", fn)
+            if m is not None and int(m.group(1)) > cur_v:
+                continue
+            self.io.delete(f"{meta}/manifests/{fn}")
+            removed_manifests += 1
         return {"removed_files": removed_files, "removed_snapshots": removed_meta,
                 "removed_manifests": removed_manifests,
                 "kept_versions": sorted(keep)}

@@ -270,7 +270,12 @@ def minhash_lsh_pairs(
             ])
         ).alias("band", "band_hash"),
     )
+    # the band self-join consumes bandrows TWICE (a and b sides); without
+    # a checkpoint the whole shingle->signature kernel chain runs twice
+    # (r3 VERDICT: minhash_lsh +22%). Materialized rows are narrow
+    # (id, band, band_hash — 3 longs x bands per doc), spillable.
     bandrows = _cap_postings(bandrows, ["band", "band_hash"], max_bucket)
+    bandrows = bandrows.localCheckpoint(eager=False)
     a = bandrows.select("band", "band_hash", F.col("id").alias("id_a"))
     b = bandrows.select("band", "band_hash", F.col("id").alias("id_b"))
     cand = (
@@ -304,10 +309,20 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     the index self-join quadratic in corpus size. Capping a shingle
     undercounts intersections that contained it, so the cap trades
     RECALL only (scores can only deflate — never a false positive);
-    audit with dropped_postings."""
-    base = _shingle_base(df, id_col, text_col, n)
+    audit with dropped_postings.
+
+    The shingle base feeds THREE plan branches (the exploded index and
+    the two per-doc size relations) and Catalyst has no cross-branch
+    common-subtree reuse — uncheckpointed, the full-corpus tokenize+
+    shingle pass runs three times (r3 VERDICT: the dominant cost of the
+    composed corpus pipeline). localCheckpoint materializes it once
+    (MEMORY_AND_DISK, spillable), same pattern as the LSH verify path."""
+    base = _shingle_base(df, id_col, text_col, n).localCheckpoint(eager=False)
     ex = base.select("id", F.explode("shingles").alias("sh"))
-    ex = _cap_postings(ex, ["sh"], max_df)
+    # ex also feeds both self-join sides: checkpoint after the cap so the
+    # explode + per-shingle window (a shuffle) runs once, not twice —
+    # cheap to produce on top of the cached base.
+    ex = _cap_postings(ex, ["sh"], max_df).localCheckpoint(eager=False)
     a = ex.select(F.col("id").alias("id_a"), "sh")
     b = ex.select(F.col("id").alias("id_b"), "sh")
     shared = (
@@ -438,7 +453,11 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
             for i in range(n_chunks)
         ])).alias("chunk", "chunk_val"),
     )
-    chunks = _cap_postings(chunks, ["chunk", "chunk_val"], max_bucket)
+    # the chunk self-join consumes the fingerprint relation TWICE (a and
+    # b sides) — checkpoint so the SimHash kernel runs once (r4, same
+    # pattern as the minhash band join). Rows are narrow (id, fp, chunk).
+    chunks = _cap_postings(chunks, ["chunk", "chunk_val"], max_bucket) \
+        .localCheckpoint(eager=False)
     a = chunks.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"), "chunk", "chunk_val")
     b = chunks.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"), "chunk", "chunk_val")
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
@@ -477,17 +496,20 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
     Spark-first shape: iterative min-label propagation as pure DataFrame
     joins — labels(node, comp); each round (1) pulls min(comp) over
-    neighbors through the symmetrized edge list, then (2) POINTER-JUMPS:
-    comp <- min(comp, comp[comp]) via a self-join of the label relation
-    (sound: comp[v] is reachable from v, so anything comp[v] reaches, v
-    reaches). The jump doubles how far a label has travelled each round,
-    so convergence needs O(log diameter) rounds, not diameter — a
-    CHAIN-shaped near-dup graph (low thresholds produce those, not
-    cliques; ADVICE r2) of 10^6 nodes converges in ~20 rounds where
-    plain propagation needs 10^6. At 10^9 nodes every join shuffles
-    narrow (node, comp) longs only. ``localCheckpoint`` truncates the
-    growing lineage so round N's plan does not replay rounds 1..N-1.
-    Convergence is checked with ONE tiny agg per round; exhausting
+    neighbors through the symmetrized edge list, then (2) POINTER-JUMPS
+    TWICE: comp <- min(comp, comp[comp]) via self-joins of the label
+    relation (sound: comp[v] is reachable from v, so anything comp[v]
+    reaches, v reaches). Each jump doubles how far a label has
+    travelled, so a round multiplies reach ~4× and convergence needs
+    O(log4 diameter) rounds, not diameter — a CHAIN-shaped near-dup
+    graph (low thresholds produce those, not cliques; ADVICE r2) of
+    10^6 nodes converges in ~10 rounds where plain propagation needs
+    10^6. At 10^9 nodes every join shuffles narrow (node, comp) longs
+    only. ``localCheckpoint`` truncates the growing lineage so round
+    N's plan does not replay rounds 1..N-1; it is LAZY and materialized
+    by the convergence agg itself, so each round is ONE Spark job
+    (r4 — the eager-checkpoint-then-collect shape was two, and round
+    latency, not data, dominates small/medium graphs). Exhausting
     ``max_iter`` with labels still moving raises (or warns with
     ``on_nonconverge='warn'``) instead of silently returning a
     multi-labelled component.
@@ -518,8 +540,16 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             )
         )
         hop = stepped.select(F.col("node").alias("_hn"), F.col("comp").alias("_hc"))
-        new = (
+        j1 = (
             stepped.join(hop, stepped.comp == hop._hn, "left")
+            .select(
+                "node", "_prev",
+                F.least(F.col("comp"), F.coalesce("_hc", "comp")).alias("comp"),
+            )
+        )
+        hop2 = j1.select(F.col("node").alias("_hn"), F.col("comp").alias("_hc"))
+        new = (
+            j1.join(hop2, j1.comp == hop2._hn, "left")
             .select(
                 "node", "_prev",
                 F.least(F.col("comp"), F.coalesce("_hc", "comp")).alias("comp"),
@@ -527,7 +557,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             .withColumn("_chg", F.col("comp") < F.col("_prev"))
             .drop("_prev")
         )
-        new = new.localCheckpoint(eager=True)
+        # lazy checkpoint + the convergence agg as the materializing
+        # action: one job caches the round's labels AND returns the
+        # changed count — no separate materialization pass
+        new = new.localCheckpoint(eager=False)
         changed = new.agg(F.sum(F.col("_chg").cast("long"))).collect()[0][0]
         labels = new.drop("_chg")
         if not changed:

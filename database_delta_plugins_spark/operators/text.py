@@ -232,18 +232,24 @@ def remove_boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
     Spark-first shape: posexplode lines -> global line document-frequency
     (hash agg, map-side combine) -> join frequencies back -> per-doc
     ordered re-assembly via sort_array over (pos, line) structs. The
-    line-frequency relation is the only corpus-wide shuffle and it is
-    narrow (hash, count); returns (id, clean_text, n_removed)."""
+    frequency agg and the join back key on ``xxhash64(line)`` (8 B), not
+    the raw line (r3 VERDICT #5: lines are hundreds of bytes and they
+    were the shuffle key of BOTH corpus-wide exchanges); the line string
+    itself crosses the wire only once, on the re-assembly side. A 64-bit
+    collision merges two lines' document frequencies, which can only
+    over-drop the rarer line (recall-style error, ~n_distinct²/2^64 —
+    negligible even at 10^10 distinct lines); it can never fabricate
+    output text. Returns (id, clean_text, n_removed)."""
     lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    )
+    ).withColumn("_lh", F.xxhash64("line"))
     freq = (
-        lines.groupBy("line")
+        lines.groupBy("_lh")
         .agg(F.count_distinct("id").alias("_df"))
     )
     kept = (
-        lines.join(freq, "line")
+        lines.join(freq, "_lh")
         .withColumn("_keep", F.col("_df") <= max_df)
     )
     return (

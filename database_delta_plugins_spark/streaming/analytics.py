@@ -57,6 +57,13 @@ def write_time_ordered_stream(spark: SparkSession, src: DataFrame,
         src.coalesce(1).write.mode("append").parquet(out_dir)
         return
     edges = [bounds[f"q{i}"] for i in range(1, n_chunks)]
+    if all(e is None for e in edges):
+        # non-empty source with an all-null ts column: every edge is
+        # None, so no chunk filter would apply and each of the n_chunks
+        # appends would duplicate the FULL row set — take the
+        # single-chunk path instead (order is vacuous without ts).
+        src.coalesce(1).write.mode("append").parquet(out_dir)
+        return
     lo = None
     for i in range(n_chunks):
         hi = edges[i] if i < len(edges) else None

@@ -436,3 +436,60 @@ def test_purge_without_tombstones_does_not_poison_cdf(spark, tmp_path):
     # window across the no-op purge still reads
     urls = {r["url"] for r in t.changes(v1).collect()}
     assert urls == {"a", "c"}
+
+
+def test_expire_keeps_inflight_future_manifest(spark, tmp_path):
+    """ADVICE r3: manifests are written BEFORE the snapshot commit
+    point, so an unreferenced manifest targeting a FUTURE version may
+    be a concurrent writer's commit in flight — expire_snapshots must
+    not delete it. One targeting <= the current version is provably
+    garbage and must go."""
+    t = _mk(spark, tmp_path, num_buckets=2)
+    for e in range(4):
+        t.merge(_upd(spark, [("a", f"v{e}", "en", "U" if e else "I", e, 0)]),
+                epoch_id=e)
+        t = t.refresh()
+    mdir = os.path.join(t.path, "_meta", "manifests")
+    os.makedirs(mdir, exist_ok=True)
+    inflight = f"b0-v{t.version + 1}-deadbeef.json"
+    stale = "b0-v0-cafebabe.json"
+    for fn in (inflight, stale):
+        with open(os.path.join(mdir, fn), "w") as f:
+            f.write('{"bucket": 0, "segments": []}')
+    res = t.expire_snapshots(keep_last=1)
+    assert os.path.exists(os.path.join(mdir, inflight)), \
+        "future-version manifest (commit in flight) was GC'd"
+    assert not os.path.exists(os.path.join(mdir, stale))
+    assert res["removed_manifests"] >= 1
+    # cleanup the fake so later loads don't trip on it
+    os.remove(os.path.join(mdir, inflight))
+
+
+def test_mor_unknown_delta_rows_forces_shuffle(spark, tmp_path, monkeypatch):
+    """ADVICE r3: a delta segment with no row stats (legacy v2 layout)
+    is unsizeable — scan() must take the shuffle resolve, never count
+    it as 0 rows and risk broadcasting an oversized delta."""
+    import json as _json
+
+    t = _epochs(spark, _mk_mor(spark, tmp_path, "m_unsized"))
+    expected = t.read().orderBy("url").collect()
+    # strip row stats from every DELTA segment in the referenced manifests
+    for b, info in t.snap["buckets"].items():
+        rel = info.get("manifest")
+        if rel is None:
+            continue
+        p = os.path.join(t.path, "_meta", rel)
+        with open(p) as f:
+            m = _json.load(f)
+        for i, seg in enumerate(m["segments"]):
+            if i > 0:
+                seg["rows"] = None
+        with open(p, "w") as f:
+            _json.dump(m, f)
+    t2 = LakeTable.load(spark, t.path)
+
+    def _boom(*a, **k):
+        raise AssertionError("broadcast resolve chosen for unsizeable delta")
+
+    monkeypatch.setattr(LakeTable, "_resolve_lww_broadcast", staticmethod(_boom))
+    assert t2.read().orderBy("url").collect() == expected

@@ -58,3 +58,80 @@ def test_resize_media_plumbing(spark):
     # resized payloads shrink proportionally, never grow
     for r in out.collect():
         assert r["meta"]["n_bytes"] is None or len(bytes(r["payload"])) <= 400
+
+
+def test_png_roundtrip_all_filters_golden():
+    """r4: the stdlib PNG codec — every scanline filter type, every
+    supported color type, byte-exact pixel round-trip; plus golden-byte
+    checks of the container format itself."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from database_delta_plugins_spark.operators.multimodal import (
+        png_decode,
+        png_encode,
+    )
+
+    rng = np.random.RandomState(7)
+    shapes = [(5, 9), (8, 8, 3), (4, 6, 4), (1, 1), (3, 2, 3)]
+    for shape in shapes:
+        arr = rng.randint(0, 256, size=shape).astype(np.uint8)
+        for f in range(5):
+            data = png_encode(arr, filter_type=f)
+            # container golden checks
+            assert data[:8] == b"\x89PNG\r\n\x1a\n"
+            assert data[12:16] == b"IHDR"
+            w, h = struct.unpack(">II", data[16:24])
+            assert (h, w) == shape[:2]
+            back = png_decode(data)
+            assert back.shape == arr.shape and back.dtype == np.uint8
+            assert np.array_equal(back, arr), f"shape={shape} filter={f}"
+    # corrupt CRC must raise, not silently decode
+    arr = rng.randint(0, 256, size=(4, 4)).astype(np.uint8)
+    data = bytearray(png_encode(arr))
+    data[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+    try:
+        png_decode(bytes(data))
+        raise AssertionError("corrupt CRC accepted")
+    except ValueError:
+        pass
+    # zlib stream sanity: IDAT holds h*(stride+1) filtered bytes
+    data = png_encode(np.zeros((3, 5), np.uint8))
+    pos, idat = 8, b""
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        if tag == b"IDAT":
+            idat += data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+    assert len(zlib.decompress(idat)) == 3 * (5 + 1)
+
+
+def test_decode_media_real_png(spark):
+    """r4: decode_media(fake=False) really decodes — the feature
+    histogram of each row equals the one computed from the generative
+    pixel formula, for ids covering all five filter types and both
+    color modes."""
+    import numpy as np
+
+    from database_delta_plugins_spark.operators.multimodal import (
+        decode_media,
+        synth_png_media_df,
+    )
+
+    ids = spark.range(20).withColumnRenamed("id", "doc_id")
+    media = synth_png_media_df(ids)
+    got = {r["media_id"]: r for r in decode_media(media, fake=False,
+                                                  feature_dim=8).collect()}
+    assert len(got) == 20
+    for mid in range(20):
+        w, h = 8 * (mid % 5 + 1), 8 * (mid % 4 + 1)
+        ch = 1 if mid % 2 == 0 else 3
+        y, x, c = np.ogrid[0:h, 0:w, 0:ch]
+        px = ((x * x + 3 * y * y + 11 * c + mid) % 256).astype(np.uint8).ravel()
+        want = np.bincount(px % 8, minlength=8) / px.size
+        assert got[mid]["kind"] == "image"
+        assert got[mid]["n_frames"] == 1
+        assert np.allclose(got[mid]["feature"], want, atol=1e-6), mid

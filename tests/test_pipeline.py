@@ -584,3 +584,38 @@ def test_null_op_rows_counted_not_silently_dropped(spark, sf_dir, tmp_path):
     p.run_to_completion()
     assert sum(r.get("events_skipped_unknown_op", 0)
                for r in p.epoch_lineage) == 2
+
+
+def test_cdf_consumer_across_purge_raises_in_pipeline(spark, sf_dir, tmp_path):
+    """r4 directive #8 (pipeline-level ADVICE-r3 guard): a downstream
+    incremental CDF consumer that falls behind while the STREAMING
+    pipeline's table gets a tombstone-purging compaction must fail
+    loudly on its next changes() window — silently retaining deleted
+    urls downstream is the failure mode being fenced. A consumer
+    re-reading from the purge version onward converges again."""
+    import pytest
+
+    log = str(tmp_path / "log_purge")
+    write_event_log(spark, sf_dir, log, revs=3, n_files=4)
+    p = CDCPipeline(spark, log, str(tmp_path / "tp"), str(tmp_path / "cp"),
+                    num_buckets=4, max_files_per_trigger=2)
+    p.bootstrap(replicate_existing_data=False)
+    t = p.run_to_completion()
+    v_behind = 1  # consumer checkpointed long ago (first commit)
+    assert t.version > v_behind
+    # deletes exist in the stream (op=d events) -> tombstones present;
+    # maintenance purges them
+    res = t.compact(max_segments_per_bucket=1, purge_tombstones=True)
+    assert res["purged_tombstones"] is True
+    t = t.refresh()
+    purge_v = t.snap["last_purge_version"]
+    with pytest.raises(ValueError, match="purg"):
+        t.changes(v_behind)
+    # recovery path: consuming from the purge version onward still works
+    # and matches the table (no deletes can hide after the purge point)
+    state = {r["url"]: r["text"] for r in t.read().collect()}
+    down = {}
+    for r in t.changes(purge_v).collect():
+        if r["_change_type"] != "delete":
+            down[r["url"]] = r["text"]
+    assert set(down) <= set(state)

@@ -291,3 +291,111 @@ def test_neardup_gemm_string_ids(spark):
              cosine_neardup_pairs_arrow(df, dim=2, threshold=0.9, bits=1,
                                         max_bucket=None).collect()}
     assert pairs == {("u/a", "u/b")}
+
+
+def _mk_emb_table(spark, tmp_path, name="embt"):
+    from pyspark.sql import types as T
+
+    from database_delta_plugins_spark.lake.table import LakeTable
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()), True),
+    ])
+    return LakeTable.create(spark, str(tmp_path / name), schema,
+                            key="vec_id", num_buckets=2, write_mode="mor")
+
+
+def _vecs(spark, rows):
+    """rows: [(vec_id, embedding_list_or_None, op, lsn)]"""
+    from pyspark.sql import types as T
+
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in v] if v is not None else None,
+          op, int(lsn), 0, 0) for i, v, op, lsn in rows],
+        schema=T.StructType([
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.DoubleType()), True),
+            T.StructField("op_type", T.StringType(), False),
+            T.StructField("lsn", T.LongType(), False),
+            T.StructField("seq", T.LongType(), False),
+            T.StructField("ts_ms", T.LongType(), False),
+        ]))
+
+
+def test_incremental_index_upsert_equals_rebuild(spark, sf_dir, tmp_path):
+    """r4 directive #6: CDC apply -> LakeTable.changes() -> incremental
+    LSH/IVF index refresh. The refreshed persisted index must be
+    row-identical to a full rebuild over the post-window table, and ANN
+    queries over both must agree — including updated vectors that MOVE
+    partitions and deleted vectors that leave buckets empty."""
+    import numpy as np
+
+    from database_delta_plugins_spark.operators.similarity import (
+        ivf_assign,
+        ivf_build,
+        ivf_index_upsert,
+        lsh_build,
+        lsh_index_upsert,
+        lsh_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    dim, n = 8, 40
+    base = [(i, rng.randn(dim).tolist(), "I", i + 1) for i in range(n)]
+    t = _mk_emb_table(spark, tmp_path)
+    t.merge(_vecs(spark, base), epoch_id=1)
+    t = t.refresh()
+    v1 = t.version
+
+    lsh_idx = str(tmp_path / "lsh_idx")
+    ivf_idx = str(tmp_path / "ivf_idx")
+    lsh_build(t.read().select("vec_id", "embedding"), dim, bits=3) \
+        .write.partitionBy("sig").parquet(lsh_idx)
+    assigned, cents = ivf_build(
+        t.read().select("vec_id", "embedding"), n_cells=4)
+    assigned.write.partitionBy("_cell").parquet(ivf_idx)
+
+    # window: updates that flip signatures (negated vectors), fresh
+    # inserts, deletes, and a multi-change key (update then delete)
+    upd = [(i, (-np.asarray(base[i][1])).tolist(), "U", 100 + i)
+           for i in range(0, 10)]
+    ins = [(n + i, rng.randn(dim).tolist(), "I", 200 + i) for i in range(5)]
+    dels = [(i, None, "D", 300 + i) for i in range(10, 18)]
+    multi = [(20, rng.randn(dim).tolist(), "U", 400), (20, None, "D", 401)]
+    t.merge(_vecs(spark, upd + ins + dels + multi), epoch_id=2)
+    t = t.refresh()
+
+    ch = t.changes(v1)
+    r1 = lsh_index_upsert(spark, lsh_idx, ch, dim, bits=3)
+    r2 = ivf_index_upsert(spark, ivf_idx, ch, cents)
+    assert r1["upserts"] == 15 and r1["deletes"] == 9
+    assert r2["upserts"] == 15 and r2["deletes"] == 9
+
+    final = t.read().select("vec_id", "embedding")
+    want_lsh = {(r["vec_id"], r["sig"], tuple(np.round(r["embedding"], 9)))
+                for r in lsh_build(final, dim, bits=3).collect()}
+    got_lsh = {(r["vec_id"], r["sig"], tuple(np.round(r["embedding"], 9)))
+               for r in spark.read.parquet(lsh_idx)
+               .select("vec_id", "embedding", "sig").collect()}
+    assert got_lsh == want_lsh
+
+    want_ivf = {(r["vec_id"], r["_cell"]) for r in
+                ivf_assign(final, cents).select("vec_id", "_cell").collect()}
+    got_ivf = {(r["vec_id"], r["_cell"]) for r in
+               spark.read.parquet(ivf_idx).select("vec_id", "_cell").collect()}
+    assert got_ivf == want_ivf
+
+    # ANN answers agree between incrementally-refreshed and rebuilt index
+    qv = [float(x) for x in ins[0][1]]
+    got = [r["vec_id"] for r in
+           lsh_topk(spark.read.parquet(lsh_idx), qv, k=5, bits=3).collect()]
+    want = [r["vec_id"] for r in
+            lsh_topk(lsh_build(final, dim, bits=3), qv, k=5, bits=3).collect()]
+    assert got == want
+
+    # idempotence: re-running the same window changes nothing
+    lsh_index_upsert(spark, lsh_idx, ch, dim, bits=3)
+    again = {(r["vec_id"], r["sig"]) for r in
+             spark.read.parquet(lsh_idx).select("vec_id", "sig").collect()}
+    assert again == {(a, b) for a, b, _ in got_lsh}

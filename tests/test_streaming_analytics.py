@@ -249,3 +249,23 @@ def test_sessionize_hot_user_batch_is_vectorized():
     assert n_closed > 1000          # plenty of sessions split
     assert st.get is not None       # open tail retained
     assert dt < 2.0, f"hot-user slice took {dt:.2f}s — not vectorized?"
+
+
+def test_time_ordered_write_all_null_ts(spark, tmp_path):
+    """ADVICE r3: a non-empty source whose ts column is entirely NULL
+    yields all-None percentile edges; the writer must fall back to the
+    single-chunk path instead of appending the full row set n_chunks
+    times."""
+    from pyspark.sql import functions as F
+
+    from database_delta_plugins_spark.streaming.analytics import (
+        write_time_ordered_stream,
+    )
+
+    src = spark.range(10).select(
+        F.col("id").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    d = str(tmp_path / "nullts")
+    write_time_ordered_stream(spark, src, d, n_chunks=4)
+    assert spark.read.parquet(d).count() == 10

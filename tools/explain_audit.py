@@ -218,6 +218,25 @@ def main():
                    "BroadcastHashJoin" in p10 and "LeftAnti" in p10))
     _sh.rmtree(cowdir, ignore_errors=True)
 
+    # 11. C4 line dedup (r4 directive #5): the corpus-wide frequency agg
+    # and the join back must key their exchanges on xxhash64(line)
+    # (8 B), never on the raw line string.
+    from database_delta_plugins_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    q11 = remove_boilerplate_lines(docs.select("doc_id", "text"))
+    p11 = plan_of(q11)
+    # formatted explain puts partitioning on an Arguments: line; grab the
+    # first key of every hashpartitioning spec
+    det11 = re.findall(r"hashpartitioning\(([A-Za-z0-9_]+#)", p11)
+    sections.append(("C4 line dedup: hashed line key in exchanges", q11, p11))
+    checks.append(("line-dedup exchanges key on _lh hash, not the line string",
+                   bool(det11) and not any(k.startswith("line#") for k in det11)
+                   and any(k.startswith("_lh#") for k in det11)))
+    # sanity: the regex actually saw partitioning specs
+    assert det11, "explain format changed: no hashpartitioning specs parsed"
+
     with open(_os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write("# EXPLAIN audit — hot-path physical plans\n\n")
         f.write("Checks:\n\n")
