@@ -189,13 +189,24 @@ class CDCPipeline:
         # wall-scaling (no driver-serial section: 0.738 vs 0.665 at 1->4).
         self.lww_strategy = lww_strategy
         # binlog-shaped log encoding: "parquet" (columnar, footer-stats
-        # audit fast path) or "json" (Debezium-JSON-lines shape: one
+        # audit fast path), "json" (Debezium-JSON-lines shape: one
         # envelope object per line, binary as base64 — the wire format a
-        # Kafka-connect CDC topic dump lands in). Same envelope schema,
-        # same apply semantics; json batches use the full-scan audit
-        # (no footers to read).
-        if source_format not in ("parquet", "json"):
-            raise ValueError(f"source_format must be parquet|json, got {source_format!r}")
+        # Kafka-connect CDC topic dump lands in), or "socket" (r4: the
+        # SAME JSON-lines envelope tailed LIVE over TCP — the network-
+        # shaped S2 analogue of the reference's wire tail,
+        # mysql/MySqlEventReader.java:164-170; event_log_dir is then a
+        # "host:port" address, sources/net.py serves one). Same envelope
+        # schema, same apply semantics everywhere; json/socket batches
+        # use the full-scan audit (no footers to read). The socket
+        # transport is NOT replayable by the checkpoint (Spark's socket
+        # source keeps no offsets) — exactly-once across a restart
+        # comes from the engine's own fencing instead: the server
+        # re-tails from the beginning (a binlog reconnect) and the D11
+        # lsn replay filter + epoch fences drop everything already
+        # applied, reconverging to the identical state (pytest-proven).
+        if source_format not in ("parquet", "json", "socket"):
+            raise ValueError(
+                f"source_format must be parquet|json|socket, got {source_format!r}")
         self.source_format = source_format
         # U1/C4: binary.handling.mode analogue — with 'hex'/'base64' every
         # BinaryType payload column lands as a string (the reference
@@ -364,6 +375,10 @@ class CDCPipeline:
         """
         if not isinstance(epoch_id, int):
             return None
+        if self.source_format == "socket":
+            # socket offsets are row counts, not file paths — nothing to
+            # rebind; the handed-over DataFrame is the batch
+            return None
         import os
 
         d = os.path.join(self.checkpoint_dir, "sources", "0")
@@ -382,7 +397,10 @@ class CDCPipeline:
                         e = json.loads(line)
                         if e.get("batchId", epoch_id) == epoch_id:
                             files.append(e["path"])
-            except (OSError, json.JSONDecodeError):
+            except (OSError, json.JSONDecodeError, AttributeError,
+                    TypeError, KeyError):
+                # unrecognized offset-log shape (non-file source) —
+                # keep the handed-over DataFrame
                 return None
             return files or None
         return None
@@ -648,6 +666,18 @@ class CDCPipeline:
 
     # ------------------------------------------------------------- runners
     def read_stream(self) -> DataFrame:
+        if self.source_format == "socket":
+            host, _, port = self.event_log_dir.rpartition(":")
+            lines = (
+                self.spark.readStream.format("socket")
+                .option("host", host).option("port", int(port)).load()
+            )
+            env = event_envelope_schema(self.payload_schema)
+            # from_json decodes BinaryType from base64 exactly like the
+            # json file reader, so the wire and file encodings land the
+            # same envelope columns
+            return lines.select(
+                F.from_json(F.col("value"), env).alias("e")).select("e.*")
         reader = (
             self.spark.readStream.schema(event_envelope_schema(self.payload_schema))
             .option("maxFilesPerTrigger", self.max_files_per_trigger)

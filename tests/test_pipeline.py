@@ -619,3 +619,75 @@ def test_cdf_consumer_across_purge_raises_in_pipeline(spark, sf_dir, tmp_path):
         if r["_change_type"] != "delete":
             down[r["url"]] = r["text"]
     assert set(down) <= set(state)
+
+
+def test_socket_source_equals_parquet_and_replays(spark, sf_dir, tmp_path):
+    """r4: the network-shaped S2 analogue — the same Debezium-JSON
+    envelope tailed LIVE over TCP converges to the identical state as
+    the parquet file log, and a RESTART whose server replays the whole
+    log (a binlog reconnect; the socket source keeps no offsets) is
+    fenced by the engine's own lsn replay filter + epoch fences back to
+    the same state."""
+    from database_delta_plugins_spark.sources.generator import rich_events_df
+    from database_delta_plugins_spark.sources.net import serve_jsonl_log
+
+    ev = rich_events_df(spark, sf_dir, revs=2, html_pad_bytes=64)
+    plog, jlog = str(tmp_path / "plog"), str(tmp_path / "jlog")
+    ev.repartitionByRange(2, "lsn").write.parquet(plog)
+    ev.repartitionByRange(2, "lsn").write.json(jlog)
+
+    pref = CDCPipeline(spark, plog, str(tmp_path / "t_ref"),
+                       str(tmp_path / "c_ref"), num_buckets=4,
+                       derive_text_from_html=True)
+    ref = sorted((r["url"], r["text"], r["_lsn"], r["_is_deleted"])
+                 for r in pref.run_to_completion().scan().collect())
+    assert len(ref) > 0
+
+    def _state(path):
+        t = LakeTable.load(spark, path)
+        return sorted((r["url"], r["text"], r["_lsn"], r["_is_deleted"])
+                      for r in t.scan().collect())
+
+    tsock = str(tmp_path / "t_sock")
+    _th, port = serve_jsonl_log(jlog)
+    p = CDCPipeline(spark, f"127.0.0.1:{port}", tsock,
+                    str(tmp_path / "c_sock"), num_buckets=4,
+                    derive_text_from_html=True, source_format="socket")
+    p.bootstrap(replicate_existing_data=False)
+    q = p.start(available_now=False)
+    deadline = time.time() + 180
+    got = None
+    while time.time() < deadline:
+        try:
+            got = _state(tsock)
+            if got == ref:
+                break
+        except Exception:
+            pass
+        time.sleep(1.0)
+    q.stop()
+    q.awaitTermination(60)
+    assert got == ref, f"socket tail diverged: {len(got or [])} vs {len(ref)} rows"
+
+    # restart: fresh checkpoint (socket source keeps no offsets), fresh
+    # server replaying the FULL log — engine fencing must keep the
+    # table identical, applying nothing twice
+    v_before = LakeTable.load(spark, tsock).version
+    _th2, port2 = serve_jsonl_log(jlog)
+    p2 = CDCPipeline(spark, f"127.0.0.1:{port2}", tsock,
+                     str(tmp_path / "c_sock2"), num_buckets=4,
+                     derive_text_from_html=True, source_format="socket")
+    q2 = p2.start(available_now=False)
+    # wait for the replayed tail to drain through at least one batch
+    deadline = time.time() + 120
+    while time.time() < deadline and not p2.epoch_lineage:
+        time.sleep(1.0)
+    time.sleep(3.0)
+    q2.stop()
+    q2.awaitTermination(60)
+    assert _state(tsock) == ref
+    t_after = LakeTable.load(spark, tsock)
+    applied_after = sum(e.get("rows_applied", 0)
+                        for e in p2.epoch_lineage)
+    assert applied_after == 0, "replayed events were re-applied"
+    assert t_after.version >= v_before
