@@ -57,12 +57,30 @@ _CDC = cdc_events_duckdb_sql()
 _FLAT_COLS = ["url", "warc_ts", "after_text", "lang", "op", "lsn", "seq"]
 
 
+def _balanced(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """The sf* corpus tables are single-row-group parquet files, so the
+    scan — and every heavy per-doc kernel Catalyst fuses into it
+    (shingles, signatures, quality) — would run as ONE task at any core
+    count (measured r4: the dominant serial fraction of the corpus-op
+    scaling bench). A real 100-TB corpus arrives as thousands of
+    splits; mirror that here by rebalancing only when the scan has
+    fewer splits than the session's parallelism. The round-robin
+    exchange moves the raw corpus once and unlocks every downstream
+    stage."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    return _balanced(
+        spark, spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+    return _balanced(
+        spark, spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet"))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -87,20 +87,49 @@ def _loadavg() -> float:
         return float(f.read().split()[0])
 
 
+def _stat_totals() -> tuple[int, int, int]:
+    """(busy_jiffies, steal_jiffies, total_jiffies) from /proc/stat."""
+    p = open("/proc/stat").readline().split()
+    vals = list(map(int, p[1:11]))
+    idle = vals[3] + vals[4]
+    steal = vals[7]
+    return sum(vals) - idle, steal, sum(vals)
+
+
+def _host_noise(sample_sec: float = 2.0) -> tuple[float, float]:
+    """(busy_cores, steal_pct) over a short sample while the bench is
+    between runs (its own tree is idle then, so box busy ≈ external
+    tenants). This replaces the old loadavg guard: loadavg counts OUR
+    recently-exited JVMs' runnable ghosts for a minute after each run
+    and missed genuinely-idle windows, while real noise — tenant CPU or
+    hypervisor steal — shows up here directly (r4 forensics)."""
+    b0, s0, t0 = _stat_totals()
+    time.sleep(sample_sec)
+    b1, s1, t1 = _stat_totals()
+    dt = max(t1 - t0, 1)
+    ncpu = os.cpu_count() or 1
+    return (b1 - b0) / dt * ncpu, 100.0 * (s1 - s0) / dt
+
+
 _WAIT_BUDGET = [int(os.environ.get("BENCH_WAIT_BUDGET", "360"))]
+BUSY_MAX = float(os.environ.get("BENCH_BUSY_MAX", "1.5"))
+STEAL_MAX = float(os.environ.get("BENCH_STEAL_MAX", "2.0"))
 
 
 def _wait_for_quiet(max_wait_sec: int = 120) -> float:
-    """External tenant bursts poison wall timings; wait (bounded) for the
-    1-min load to decay below LOAD_MAX before a timed run. The wait
-    budget is GLOBAL across the whole bench so a persistently loaded
-    host degrades to noisy-but-complete numbers instead of a timeout."""
+    """External tenant bursts poison wall timings; wait (bounded) until
+    measured external busy-cores and hypervisor steal are low before a
+    timed run. The wait budget is GLOBAL across the whole bench so a
+    persistently loaded host degrades to noisy-but-complete numbers
+    instead of a timeout."""
     waited = 0
-    while (_loadavg() > LOAD_MAX and waited < max_wait_sec
-           and _WAIT_BUDGET[0] > 0):
-        time.sleep(15)
+    busy, steal = _host_noise()
+    while ((busy > BUSY_MAX or steal > STEAL_MAX)
+           and waited < max_wait_sec and _WAIT_BUDGET[0] > 0):
+        time.sleep(13)
         waited += 15
         _WAIT_BUDGET[0] -= 15
+        busy, steal = _host_noise()
     return _loadavg()
 
 
@@ -216,6 +245,70 @@ def run_queries() -> dict:
 
 LLM_SCALE_HEADS = ["minhash_lsh", "embed_neardup", "dedup_clusters",
                    "training_corpus"]
+LLM_MULT = int(os.environ.get("BENCH_LLM_MULT", "8"))
+# embeddings get a larger replica: the embedding ops are cheap per row
+# (one GEMM per bucket), so at docs-mult x8 they are still fixed-cost
+# bound — x32 puts real parallel work on the clock
+LLM_EMB_MULT = int(os.environ.get("BENCH_LLM_EMB_MULT", "32"))
+
+
+def ensure_llm_corpus(mult: int = LLM_MULT,
+                      emb_mult: int = LLM_EMB_MULT,
+                      n_files: int = 32) -> str:
+    """Derived corpus for the LLM-op scaling protocol: the sf tables are
+    single-row-group files of a few thousand docs — at that size the
+    ops are driver/fixed-cost bound and a 1-vs-4-core ratio measures
+    Spark latency, not the operator (measured r4: minhash serial
+    fraction ~50% at sf0.1). Replicate ``mult``× with per-copy token
+    remapping (word -> word_c{k}) so copies share NO shingles — pair
+    structure scales linearly, never quadratically — and per-copy
+    embedding rotation (cosine structure preserved within a copy,
+    decorrelated across copies). Written as ``n_files`` splits so scans
+    parallelize like a real corpus. Deterministic; cached."""
+    out = os.path.join(CACHE, f"llm_corpus_{_sf_tag()}_x{mult}e{emb_mult}")
+    marker = os.path.join(out, "_READY")
+    if os.path.exists(marker):
+        return out
+    from pyspark.sql import functions as F
+
+    from database_delta_plugins_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{CPUS}]", app_name="bench-llm-corpus",
+                      shuffle_partitions=CPUS)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ks = F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("_k")
+    other = [c for c in docs.columns if c not in ("doc_id", "text")]
+    d = docs.select("*", ks).select(
+        (F.col("doc_id") * mult + F.col("_k")).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.concat(w, F.lit("_c"),
+                                   F.col("_k").cast("string"))),
+            " ").alias("text"),
+        *[F.col(c) for c in other],
+    )
+    d.repartition(n_files).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet"))
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    eks = F.explode(F.sequence(F.lit(0), F.lit(emb_mult - 1))).alias("_k")
+    dim = F.size(F.col("embedding"))
+    sh = F.pmod(F.col("_k"), dim)  # rotation offset, safe for any mult
+    rot = F.concat(
+        F.slice(F.col("embedding"), sh + 1, dim - sh),
+        F.slice(F.col("embedding"), F.lit(1), sh),
+    )
+    e = emb.select("*", eks).select(
+        (F.col("vec_id") * emb_mult + F.col("_k")).alias("vec_id"),
+        rot.alias("embedding"),
+        *[F.col(c) for c in emb.columns if c not in ("vec_id", "embedding")],
+    )
+    e.repartition(n_files).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet"))
+    spark.stop()
+    with open(marker, "w") as f:
+        f.write(str(mult))
+    return out
 
 
 def run_llm_ops(cores: int) -> dict:
@@ -228,19 +321,43 @@ def run_llm_ops(cores: int) -> dict:
     from database_delta_plugins_spark.session import get_spark
     from tools.proc_cpu import TreeCpuSampler
 
+    corpus = ensure_llm_corpus()
     spark = get_spark(master=f"local[{cores}]",
                       app_name=f"bench-llm-{cores}", shuffle_partitions=8)
-    qs = entrymod.queries()
-    # untimed warmup: JVM JIT + codegen + Arrow/pandas worker spin-up
-    qs["dedup_exact"](spark, SF_DIR).count()
-    qs["ann_cosine_topk"](spark, SF_DIR).count()
+    qs = dict(entrymod.queries())
+
+    def _embed_prod(s, sf_dir):
+        # production posture for the scaled corpus: GEMM scorer, bucket
+        # cap ON, bits grown with n (bits ≈ log2(n/target_bucket)) —
+        # the gate query disables the cap only for oracle parity, which
+        # goes quadratic on an 8× corpus by design
+        from database_delta_plugins_spark.operators.similarity import (
+            cosine_neardup_pairs_arrow,
+        )
+
+        dbl = entrymod._dbl(entrymod._emb(s, sf_dir))
+        dim = len(dbl.head()["embedding"])
+        bits = entrymod._NEARDUP_BITS + max(LLM_EMB_MULT.bit_length() - 1, 0)
+        return cosine_neardup_pairs_arrow(
+            dbl, dim=dim, threshold=entrymod._NEARDUP_T, bits=bits,
+            max_bucket=200)
+
+    qs["embed_neardup"] = _embed_prod
+    # untimed warmup: run each measured op once against the SMALL sf
+    # corpus — spins up the Arrow/pandas workers PER CORE and compiles
+    # the exact codegen stages the timed ops use (a generic warmup left
+    # worker startup inside the timed region, and it scales WITH cores,
+    # poisoning the ratio); timed runs then measure steady state on the
+    # derived corpus
+    for name in LLM_SCALE_HEADS:
+        qs[name](spark, SF_DIR).count()
     out = {}
     load0 = _loadavg()
     t_all = time.time()
     with TreeCpuSampler(interval=0.5) as cpu:
         for name in LLM_SCALE_HEADS:
             t0 = time.time()
-            qs[name](spark, SF_DIR).count()
+            qs[name](spark, corpus).count()
             out[name] = round(time.time() - t0, 2)
     wall = time.time() - t_all
     spark.stop()
@@ -252,6 +369,7 @@ def run_llm_ops(cores: int) -> dict:
 def _llm_scaling(runs_per_level: int = 2) -> dict:
     """Pinned 1 vs 4 physical-core runs of the LLM-data ops; per-op
     min-of-N at each level, efficiency = t1 / (4 * t4)."""
+    ensure_llm_corpus()   # build once at full width, never inside a pin
     raw: dict[int, list[dict]] = {1: [], 4: []}
     for _ in range(runs_per_level):
         for c in (1, 4):          # interleaved, like the apply gate
@@ -447,6 +565,19 @@ def main() -> None:
                 )
                 + f"\nPer-level loads: {llm['_loads']}; pinned process-tree "
                 f"cpu_sec per full pass: {llm['_cpu_sec']}\n\n"
+                "Ops are measured on a derived corpus (docs ×8 with "
+                "per-copy token remap — no cross-copy shingles, pair "
+                "structure linear; embeddings ×32 rotated) because the "
+                "raw sf tables are single-row-group files a few MB in "
+                "size: at that scale every ratio measures Spark fixed "
+                "latency, not the operator. Named ceiling: "
+                "`dedup_clusters`/`training_corpus` include the "
+                "connected-components convergence loop — O(log "
+                "diameter) DRIVER-SEQUENCED rounds (one job each, "
+                "~0.5-1 s/round at this scale), a serial fraction that "
+                "shrinks with data volume but can never hit 1.0 on a "
+                "seconds-long run; at 10^9-node graphs the per-round "
+                "join work dwarfs the round latency.\n\n"
                 if llm else ""
             )
             + "Headline query times (sec) at local[%d], %s:\n\n" % (CPUS, _sf_tag())

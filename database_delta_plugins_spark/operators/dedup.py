@@ -131,17 +131,27 @@ def minhash_signature_arrow(df: DataFrame, shingle_col: str = "shingles",
         out_arr = np.empty(len(hs), dtype=object)
         out_arr[~valid] = None
         if valid.any():
-            flat = np.concatenate(
-                [np.asarray(a, dtype=np.int64) for a in hs[valid]])
             A = np.asarray(_AS, dtype=np.int64)
             B = np.asarray(_BS, dtype=np.int64)
-            perm = (flat[:, None] * A[None, :] + B[None, :]) % _MERSENNE
-            offsets = np.zeros(int(valid.sum()), dtype=np.int64)
-            np.cumsum(lens[valid][:-1], out=offsets[1:])
-            sigs = np.minimum.reduceat(perm, offsets, axis=0)
             vi = np.flatnonzero(valid)
-            for j, i in enumerate(vi):
-                out_arr[i] = sigs[j]
+            vlens = lens[valid]
+            # block over docs so the (shingles × 64) permutation matrix
+            # stays cache-resident (~20 MB/block): one whole-batch
+            # materialization is O(total_shingles × 64 × 8 B) — hundreds
+            # of MB written+read through the shared memory controller,
+            # which made the kernel bandwidth-bound (measured r4)
+            block = 256
+            for s in range(0, len(vi), block):
+                bi = vi[s:s + block]
+                bl = vlens[s:s + block]
+                flat = np.concatenate(
+                    [np.asarray(hs.iloc[i], dtype=np.int64) for i in bi])
+                perm = (flat[:, None] * A[None, :] + B[None, :]) % _MERSENNE
+                offsets = np.zeros(len(bi), dtype=np.int64)
+                np.cumsum(bl[:-1], out=offsets[1:])
+                sigs = np.minimum.reduceat(perm, offsets, axis=0)
+                for j, i in enumerate(bi):
+                    out_arr[i] = sigs[j]
         return pd.Series(out_arr)
 
     hashed = F.transform(F.col(shingle_col),
