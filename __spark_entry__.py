@@ -738,6 +738,90 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_index_upsert_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r4: incremental ANN index maintenance off the change feed,
+    gate-visible as a VIOLATION SET (like extract_text_roundtrip —
+    empty is the correct answer): build an embeddings LakeTable, merge
+    a second epoch of updates/inserts/deletes, refresh the persisted
+    LSH and IVF indexes from changes(), and emit every (vec_id, issue)
+    where the refreshed index differs from a full rebuild over the
+    post-window table. Non-SQL-expressible end to end (stateful lake +
+    filesystem index), hence rows-only."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from database_delta_plugins_spark.lake.table import LakeTable
+    from database_delta_plugins_spark.operators.similarity import (
+        ivf_assign,
+        ivf_build,
+        ivf_index_upsert,
+        lsh_build,
+        lsh_index_upsert,
+    )
+
+    dbl = _dbl(_emb(spark, sf_dir)).select("vec_id", "embedding")
+    dim = len(dbl.head()["embedding"])
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()), True),
+    ])
+    work = tempfile.mkdtemp(prefix="annidx_q_")
+    shutil.rmtree(work)
+    t = LakeTable.create(spark, f"{work}/t", schema, key="vec_id",
+                         num_buckets=4, write_mode="mor")
+
+    def _ops(df, op, lsn0):
+        return df.select(
+            "vec_id", "embedding", F.lit(op).alias("op_type"),
+            (F.lit(lsn0) + F.col("vec_id")).alias("lsn"),
+            F.lit(0).alias("seq"), F.lit(0).alias("ts_ms"))
+
+    half = dbl.agg(F.expr("percentile_approx(vec_id, 0.5)")).head()[0]
+    first = dbl.filter(F.col("vec_id") <= half)
+    t.merge(_ops(first, "I", 1_000), epoch_id=1)
+    t = t.refresh()
+    v1 = t.version
+    lsh_idx, ivf_idx = f"{work}/lsh", f"{work}/ivf"
+    lsh_build(t.read().select("vec_id", "embedding"), dim, bits=4) \
+        .write.partitionBy("sig").parquet(lsh_idx)
+    assigned, cents = ivf_build(
+        t.read().select("vec_id", "embedding"), n_cells=4)
+    assigned.write.partitionBy("_cell").parquet(ivf_idx)
+
+    # window: negate a third (signature flips -> partition moves),
+    # insert the other half, delete a sixth
+    upd = first.filter(F.col("vec_id") % 3 == 0).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding"))
+    ins = dbl.filter(F.col("vec_id") > half)
+    dels = first.filter(F.col("vec_id") % 6 == 1).select(
+        "vec_id", F.lit(None).cast("array<double>").alias("embedding"))
+    t.merge(_ops(upd, "U", 10_000).unionByName(_ops(ins, "I", 20_000))
+            .unionByName(_ops(dels, "D", 30_000)), epoch_id=2)
+    t = t.refresh()
+    ch = t.changes(v1)
+    lsh_index_upsert(spark, lsh_idx, ch, dim, bits=4)
+    ivf_index_upsert(spark, ivf_idx, ch, cents)
+
+    final = t.read().select("vec_id", "embedding")
+
+    def _diff(stored, want, col, label):
+        s = stored.select("vec_id", F.col(col).alias("_s"))
+        w = want.select("vec_id", F.col(col).alias("_w"))
+        j = s.join(w, "vec_id", "full_outer")
+        return j.filter(
+            F.col("_s").isNull() | F.col("_w").isNull()
+            | (F.col("_s") != F.col("_w"))
+        ).select("vec_id", F.lit(label).alias("issue"))
+
+    bad_lsh = _diff(spark.read.parquet(lsh_idx),
+                    lsh_build(final, dim, bits=4), "sig", "lsh")
+    bad_ivf = _diff(spark.read.parquet(ivf_idx),
+                    ivf_assign(final, cents), "_cell", "ivf")
+    return bad_lsh.unionByName(bad_ivf)
+
+
 def q_extract_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-identity invariant: extract_text(synth_html(text)) == text.
     Returns violations — must be empty (rows-only check + pytest)."""
@@ -799,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_png": q_multimodal_png,
         "extract_text_roundtrip": q_extract_text_roundtrip,
+        "ann_index_upsert_check": q_ann_index_upsert_check,
     }
 
 
@@ -1440,5 +1525,10 @@ def oracle_sql() -> dict[str, str]:
         "extract_text_roundtrip": """
           SELECT doc_id, text, CAST(NULL AS VARCHAR) AS rt
           FROM documents WHERE 1 = 0
+        """,
+        # incremental-index ≡ rebuild invariant: violation set EMPTY
+        "ann_index_upsert_check": """
+          SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS VARCHAR) AS issue
+          WHERE 1 = 0
         """,
     }
