@@ -535,6 +535,48 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(_docs(spark, sf_dir), threshold=0.05)
 
 
+def _doc_features(spark: SparkSession, sf_dir: str
+                  ) -> tuple[DataFrame, DataFrame]:
+    """Shared base for the corpus-selection compositions (r5 — the
+    training_corpus hot path): ONE balanced, checkpointed documents
+    relation (the former shape re-read AND re-exchanged the raw corpus
+    once per consumer — 4× in training_corpus), and ONE fused
+    scan+projection computing every per-doc feature the selection needs
+    (quality, lang_pred, exact-dup fingerprint are all narrow column
+    expressions, so composing them as withColumns over one relation is
+    a single codegen stage — the former shape ran three separate
+    full-corpus passes and joined them back with two shuffle joins).
+    The feature relation is checkpointed narrow (4 cols) because both
+    the filter chain and the exact-dedup groupBy consume it."""
+    d = _docs(spark, sf_dir).select("doc_id", "text", "source") \
+        .localCheckpoint(eager=False)
+    feats = quality_score(lang_id(fingerprint(d))).select(
+        "doc_id", F.round("quality", 4).alias("quality"), "lang_pred", "fp"
+    ).localCheckpoint(eager=False)
+    return d, feats
+
+
+def _corpus_select(d: DataFrame, feats: DataFrame) -> DataFrame:
+    """quality gate (>= 0.5) AND identified language AND exact-dedup
+    representative AND near-dup cluster keep-one, over the shared
+    (docs, features) base — semantics identical to the pre-r5 shape
+    (the composed SQL oracle is unchanged)."""
+    from database_delta_plugins_spark.operators.dedup import dedup_clusters
+
+    keep_exact = feats.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    losers = (
+        dedup_clusters(d, threshold=0.05)
+        .filter(~F.col("keep")).select("doc_id")
+    )
+    return (
+        feats
+        .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und"))
+        .join(keep_exact, "doc_id", "left_semi")
+        .join(losers, "doc_id", "left_anti")
+        .select("doc_id", "quality", "lang_pred")
+    )
+
+
 def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END training-corpus selection — the composition a data
     pipeline actually runs: quality gate (score >= 0.5) AND identified
@@ -542,24 +584,8 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-one. Output: the surviving documents with their scores. Every
     stage is the already-oracle-checked operator; the composed relation
     is checked by the composed SQL."""
-    from database_delta_plugins_spark.operators.dedup import dedup_clusters, exact_dedup
-    from database_delta_plugins_spark.operators.text import lang_id, quality_score
-
-    d = _docs(spark, sf_dir)
-    q = quality_score(d).select("doc_id", F.round("quality", 4).alias("quality"))
-    l = lang_id(d).select("doc_id", "lang_pred")
-    keep_exact = exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
-    losers = (
-        dedup_clusters(d, threshold=0.05)
-        .filter(~F.col("keep")).select("doc_id")
-    )
-    return (
-        d.select("doc_id")
-        .join(q, "doc_id").join(l, "doc_id")
-        .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und"))
-        .join(keep_exact, "doc_id", "left_semi")
-        .join(losers, "doc_id", "left_anti")
-    )
+    d, feats = _doc_features(spark, sf_dir)
+    return _corpus_select(d, feats)
 
 
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -585,8 +611,11 @@ def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_by_source,
     )
 
-    d = _docs(spark, sf_dir)
-    sel = q_corpus_select(spark, sf_dir)          # doc_id, quality, lang_pred
+    # one shared checkpointed docs relation feeds the feature pass,
+    # near-dup clustering, both decontamination sides and the final
+    # source join (r5 — formerly 4 separate scans + exchanges)
+    d, feats = _doc_features(spark, sf_dir)
+    sel = _corpus_select(d, feats)                # doc_id, quality, lang_pred
     bench = d.filter(F.col("doc_id") < 20)
     corpus = d.filter(F.col("doc_id") >= 20)
     contaminated = decontaminate(corpus, bench, n=5).select("doc_id")
@@ -738,6 +767,41 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode e2e (r5): synth_wav_media_df builds genuine
+    RIFF/WAVE 16-bit PCM byte streams executor-side, decode_media(
+    fake=False) parses them with the stdlib wave codec, and the feature
+    is the DECODED-SAMPLE histogram. Canonicalized to exact integer
+    counts (feature * n_samples; n_samples <= 2048 is float32-
+    lossless) so the oracle — which derives the histogram from the
+    generative sample formula, never touching WAV bytes — matches
+    byte-for-byte. Agreement proves decode inverts encode. The sample
+    formula's bin reduces to (7i^2+13i+31c+17id) % 8: the int16
+    wrap-around ((X % 65536) - 32768) is mod-8-invariant, so the SQL
+    mirror needs no negative-modulo care."""
+    from database_delta_plugins_spark.operators.multimodal import (
+        decode_media,
+        synth_wav_media_df,
+    )
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    media = synth_wav_media_df(ids)
+    d = decode_media(media, fake=False, feature_dim=8)
+    mid = F.col("media_id")
+    nsamp = ((256 * (mid % 4 + 1))
+             * F.when(mid % 2 == 0, F.lit(1)).otherwise(F.lit(2)))
+    counts = F.transform(
+        F.col("feature"),
+        lambda x: F.round(x * nsamp.cast("float"), 0).cast("int"),
+    )
+    return d.select(
+        "media_id",
+        F.concat_ws(",", F.transform(counts, lambda c: c.cast("string")))
+        .alias("sample_hist"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+    )
+
+
 def q_ann_index_upsert_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r4: incremental ANN index maintenance off the change feed,
     gate-visible as a VIOLATION SET (like extract_text_roundtrip —
@@ -746,7 +810,10 @@ def q_ann_index_upsert_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH and IVF indexes from changes(), and emit every (vec_id, issue)
     where the refreshed index differs from a full rebuild over the
     post-window table. Non-SQL-expressible end to end (stateful lake +
-    filesystem index), hence rows-only."""
+    filesystem index), hence rows-only. r5: indexes use the versioned
+    stage-and-swap layout (index_write/index_read) and the violation
+    set is materialized EAGERLY so the tempdir is removed before
+    returning (ADVICE r4: the gate leaked one workdir per run)."""
     import shutil
     import tempfile
 
@@ -754,6 +821,8 @@ def q_ann_index_upsert_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from database_delta_plugins_spark.lake.table import LakeTable
     from database_delta_plugins_spark.operators.similarity import (
+        index_read,
+        index_write,
         ivf_assign,
         ivf_build,
         ivf_index_upsert,
@@ -769,6 +838,19 @@ def q_ann_index_upsert_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     work = tempfile.mkdtemp(prefix="annidx_q_")
     shutil.rmtree(work)
+    try:
+        return _ann_index_upsert_body(spark, dbl, dim, schema, work,
+                                      LakeTable, index_read, index_write,
+                                      ivf_assign, ivf_build,
+                                      ivf_index_upsert, lsh_build,
+                                      lsh_index_upsert)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _ann_index_upsert_body(spark, dbl, dim, schema, work, LakeTable,
+                           index_read, index_write, ivf_assign, ivf_build,
+                           ivf_index_upsert, lsh_build, lsh_index_upsert):
     t = LakeTable.create(spark, f"{work}/t", schema, key="vec_id",
                          num_buckets=4, write_mode="mor")
 
@@ -784,11 +866,11 @@ def q_ann_index_upsert_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = t.refresh()
     v1 = t.version
     lsh_idx, ivf_idx = f"{work}/lsh", f"{work}/ivf"
-    lsh_build(t.read().select("vec_id", "embedding"), dim, bits=4) \
-        .write.partitionBy("sig").parquet(lsh_idx)
+    index_write(lsh_build(t.read().select("vec_id", "embedding"),
+                          dim, bits=4), lsh_idx, "sig")
     assigned, cents = ivf_build(
         t.read().select("vec_id", "embedding"), n_cells=4)
-    assigned.write.partitionBy("_cell").parquet(ivf_idx)
+    index_write(assigned, ivf_idx, "_cell")
 
     # window: negate a third (signature flips -> partition moves),
     # insert the other half, delete a sixth
@@ -815,11 +897,16 @@ def q_ann_index_upsert_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("_s") != F.col("_w"))
         ).select("vec_id", F.lit(label).alias("issue"))
 
-    bad_lsh = _diff(spark.read.parquet(lsh_idx),
+    bad_lsh = _diff(index_read(spark, lsh_idx),
                     lsh_build(final, dim, bits=4), "sig", "lsh")
-    bad_ivf = _diff(spark.read.parquet(ivf_idx),
+    bad_ivf = _diff(index_read(spark, ivf_idx),
                     ivf_assign(final, cents), "_cell", "ivf")
-    return bad_lsh.unionByName(bad_ivf)
+    # eager: the result must not depend on `work` after the caller's
+    # finally removes it (empty is the correct answer; violations are
+    # anomalies and tiny)
+    rows = bad_lsh.unionByName(bad_ivf).collect()
+    out_schema = "vec_id long, issue string"
+    return spark.createDataFrame(rows, out_schema)
 
 
 def q_extract_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -882,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_png": q_multimodal_png,
+        "multimodal_wav": q_multimodal_wav,
         "extract_text_roundtrip": q_extract_text_roundtrip,
         "ann_index_upsert_check": q_ann_index_upsert_check,
     }
@@ -1520,6 +1608,30 @@ def oracle_sql() -> dict[str, str]:
           SELECT media_id,
                  string_agg(CAST(n AS VARCHAR), ',' ORDER BY bin) AS pixel_hist
           FROM filled GROUP BY media_id
+        """,
+        "multimodal_wav": """
+          WITH ids AS (SELECT doc_id AS media_id FROM documents),
+          dims AS (SELECT media_id,
+                          256 * (media_id % 4 + 1) AS n,
+                          CASE WHEN media_id % 2 = 0 THEN 1 ELSE 2 END AS ch
+                   FROM ids),
+          -- static max-extent grid (n<=1024, ch<=2), filtered per id;
+          -- bin = X % 8 with X >= 0 (int16 wrap is mod-8-invariant)
+          sm AS (SELECT d.media_id,
+                        (7 * i.range * i.range + 13 * i.range
+                         + 31 * c.range + 17 * d.media_id) % 8 AS bin
+                 FROM dims d, range(1024) i, range(2) c
+                 WHERE i.range < d.n AND c.range < d.ch),
+          cnt AS (SELECT media_id, bin, count(*) AS n FROM sm GROUP BY 1, 2),
+          grid AS (SELECT media_id, b.range AS bin FROM ids, range(8) b),
+          filled AS (SELECT g.media_id, g.bin, coalesce(c.n, 0) AS n
+                     FROM grid g LEFT JOIN cnt c
+                     ON g.media_id = c.media_id AND g.bin = c.bin)
+          SELECT f.media_id,
+                 string_agg(CAST(f.n AS VARCHAR), ',' ORDER BY f.bin) AS sample_hist,
+                 min(d.n) AS n_frames
+          FROM filled f JOIN dims d ON f.media_id = d.media_id
+          GROUP BY f.media_id
         """,
         # byte-identity invariant: the violation set must be EMPTY
         "extract_text_roundtrip": """

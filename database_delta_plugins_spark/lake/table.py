@@ -846,6 +846,13 @@ class LakeTable:
 
         g = obs.get
         per_bucket, footer_affected = self._bucket_stats_from_footers(commit_dir)
+        # cow keeps the pre-write affected list; the footer-derived set
+        # must be a subset (empty buckets write no file) — assert the
+        # invariant instead of silently diverging (ADVICE r4)
+        if not set(footer_affected) <= set(affected):
+            raise RuntimeError(
+                f"cow commit wrote buckets {sorted(set(footer_affected) - set(affected))} "
+                "outside the affected set — bucket routing diverged")
         lsns = [b["min_lsn"] for b in per_bucket.values()
                 if b["min_lsn"] is not None]
         lsns_max = [b["max_lsn"] for b in per_bucket.values()

@@ -5,11 +5,12 @@ The Spark-side contract is real and tested — schema, batch iteration,
 partitioning, UDF signatures. IMAGE decode is REAL (r4): a pure-stdlib
 PNG codec (`png_decode` — zlib inflate + numpy scanline unfilter, all
 five PNG filter types, 8-bit gray/RGB/RGBA) runs executor-side under
-`decode_media(fake=False)`; no image library is needed. Audio/video
-codec work remains stubbed (`fake=False` on non-PNG media raises
-NotImplementedError where libav/torchaudio would plug in — those have
-no stdlib path). `fake=True` keeps the deterministic fake decode for
-plumbing tests at any scale.
+`decode_media(fake=False)`; no image library is needed. AUDIO decode
+is REAL too (r5): `wav_decode` parses RIFF/WAVE 16-bit PCM with the
+stdlib `wave` module + numpy frombuffer. Only VIDEO remains stubbed
+(`fake=False` raises NotImplementedError where libav would plug in —
+container/codec parsing genuinely has no stdlib path). `fake=True`
+keeps the deterministic fake decode for plumbing tests at any scale.
 
 At scale: media bytes never hit the driver; each Arrow batch is
 processed executor-side; `repartition` before heavy decode balances
@@ -94,10 +95,12 @@ def png_decode(data: bytes) -> np.ndarray:
     (H,W,3) RGB, (H,W,4) RGBA) — stdlib zlib inflate + numpy scanline
     unfiltering, no image library. Supports the common web-image core:
     8-bit depth, color types 0/2/6, no interlace, all five scanline
-    filters (Up/None vectorized; Sub/Average/Paeth carry an inherent
-    per-pixel recurrence along the row, done in a bounded Python loop —
-    a production cluster swaps in a C codec behind the same mapInPandas
-    seam). CRCs are verified; corrupt chunks raise ValueError."""
+    filters (None/Up/Sub vectorized — Sub is an exact per-channel-lane
+    cumsum mod 256; Average/Paeth carry a genuinely sequential
+    left-neighbor recurrence with a data-dependent predictor, done in a
+    bounded Python loop — a production cluster swaps in a C codec
+    behind the same mapInPandas seam). CRCs are verified; corrupt
+    chunks raise ValueError."""
     if bytes(data[:8]) != _PNG_SIG:
         raise ValueError("not a PNG byte stream")
     pos, ihdr, idat = 8, None, []
@@ -142,9 +145,13 @@ def png_decode(data: bytes) -> np.ndarray:
         elif f == 2:
             cur = line + prev          # uint8 wraps = mod-256 add
         elif f == 1:
-            cur = line.copy()
-            for i in range(bpp, stride):
-                cur[i] = (int(cur[i]) + int(cur[i - bpp])) & 0xFF
+            # Sub is a per-channel-lane prefix sum: cur[i] = line[i] +
+            # cur[i-bpp] unrolls to cumsum over each bpp-strided lane,
+            # exact under mod-256 (int64 cumsum then & 0xFF) — r5, the
+            # per-pixel Python loop was 60% of gate payloads
+            cur = (np.cumsum(
+                line.reshape(-1, bpp).astype(np.int64), axis=0)
+                & 0xFF).astype(np.uint8).reshape(stride)
         elif f == 3:
             cur = np.empty(stride, dtype=np.uint8)
             for i in range(stride):
@@ -165,6 +172,46 @@ def png_decode(data: bytes) -> np.ndarray:
         out[y] = cur
         prev = cur
     return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
+
+def wav_encode(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode int16 PCM samples ((n,) mono or (n, ch) multi-channel) as
+    a real RIFF/WAVE byte stream — stdlib ``wave`` only. Any conformant
+    audio tool reads the output."""
+    import io
+    import wave
+
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(a.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.ascontiguousarray(a).tobytes())
+    return buf.getvalue()
+
+
+def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE byte stream to ((n, ch) int16 samples,
+    sample_rate) — stdlib ``wave`` parse + numpy frombuffer, no audio
+    library (r5: closes the audio half of the codec seam the same way
+    r4's png_decode closed the image half; only 16-bit PCM — the
+    overwhelmingly common case — is supported, compressed codecs plug
+    in behind the same mapInPandas seam)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(bytes(data)), "rb") as w:
+        if w.getsampwidth() != 2 or w.getcomptype() != "NONE":
+            raise ValueError(
+                f"unsupported WAV (sampwidth={w.getsampwidth()} "
+                f"comp={w.getcomptype()}); this decoder does 16-bit PCM")
+        ch = w.getnchannels()
+        frames = w.readframes(w.getnframes())
+    return (np.frombuffer(frames, dtype=np.int16).reshape(-1, ch),
+            w.getframerate())
+
 
 MEDIA_META = T.StructType([
     T.StructField("kind", T.StringType(), False),       # image|audio|video
@@ -253,17 +300,58 @@ def synth_png_media_df(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ids.select(id_col).mapInPandas(gen, schema=media_schema())
 
 
+def synth_wav_media_df(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL-WAV media table (r5 — the audio analogue of
+    ``synth_png_media_df``): every payload is a genuine RIFF/WAVE byte
+    stream built executor-side, so ``decode_media(fake=False)``
+    exercises a true PCM parse, not plumbing.
+
+    Deterministic generative contract (the oracle recomputes the
+    expected sample statistics from this closed form, proving the
+    decode inverts the encode): for media_id = the id column,
+      n_frames = 256 * (id % 4 + 1),  mono when id even, stereo odd
+      sample[i, c] = ((7*i*i + 13*i + 31*c + 17*id) % 65536) - 32768
+      sample_rate = 8000
+    (non-linear in i: a decode that drops/permutes/sign-flips frames
+    shifts the histogram)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n = 256 * (mid % 4 + 1)
+                ch = 1 if mid % 2 == 0 else 2
+                i, c = np.ogrid[0:n, 0:ch]
+                s = ((7 * i * i + 13 * i + 31 * c + 17 * mid) % 65536
+                     - 32768).astype(np.int16)
+                payload = wav_encode(s, sample_rate=8000)
+                out.append((mid, payload,
+                            {"kind": "audio", "mime": "audio/wav",
+                             "width": None, "height": None,
+                             "duration_ms": n * 1000 // 8000,
+                             "n_bytes": len(payload)}))
+            yield pd.DataFrame({
+                "media_id": [r[0] for r in out],
+                "payload": [r[1] for r in out],
+                "meta": [r[2] for r in out],
+            })
+
+    return ids.select(id_col).mapInPandas(gen, schema=media_schema())
+
+
 def decode_media(df: DataFrame, fake: bool = True,
                  feature_dim: int = 8, batch_hint: int | None = None) -> DataFrame:
     """Decode / feature-extract via mapInPandas (Arrow batches).
 
     fake=True: deterministic feature vector from the payload bytes
-    (plumbing test). fake=False (r4): REAL decode — `image/png` payloads
-    go through the stdlib `png_decode` and the feature is the
-    DECODED-PIXEL-value histogram folded to ``feature_dim`` (normalized
-    by pixel count); non-PNG media still raises NotImplementedError
-    (audio/video codecs have no stdlib path — libav/torchaudio plug in
-    behind this same seam)."""
+    (plumbing test). fake=False: REAL decode — `image/png` payloads go
+    through the stdlib `png_decode` (r4) and `audio/wav` through the
+    stdlib `wav_decode` (r5); the feature is the decoded-VALUE
+    histogram (pixels / int16 samples) folded to ``feature_dim``
+    (normalized by value count). Video still raises NotImplementedError
+    — container/codec parsing genuinely has no stdlib path; libav plugs
+    in behind this same seam."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -275,23 +363,31 @@ def decode_media(df: DataFrame, fake: bool = True,
                     feats.append(None)
                     frames.append(None)
                     continue
+                n_frames = (int(meta["duration_ms"] // 1000) + 1
+                            if kind == "video" and meta["duration_ms"] is not None
+                            else 1)
                 if fake:
                     arr = np.frombuffer(payload, dtype=np.uint8)
                 else:
                     mime = meta["mime"] if meta is not None else None
-                    if mime != "image/png":
+                    if mime == "image/png":
+                        arr = png_decode(bytes(payload)).ravel()
+                    elif mime == "audio/wav":
+                        samples, _rate = wav_decode(payload)
+                        n_frames = samples.shape[0]
+                        # int16 → int64 before the mod so the histogram
+                        # bin is the non-negative python-style remainder
+                        arr = samples.astype(np.int64).ravel()
+                    else:
                         raise NotImplementedError(
                             f"real decode of {kind}/{mime} requires codec "
                             "libs not present in this environment; PNG "
-                            "images decode natively (png_decode), others "
-                            "need fake=True")
-                    arr = png_decode(bytes(payload)).ravel()
+                            "images (png_decode) and PCM WAV (wav_decode) "
+                            "decode natively, others need fake=True")
                 # deterministic feature: value histogram folded to feature_dim
                 hist = np.bincount(arr % feature_dim, minlength=feature_dim)
                 feats.append((hist / max(len(arr), 1)).astype(np.float32).tolist())
-                frames.append(int(meta["duration_ms"] // 1000) + 1
-                              if kind == "video" and meta["duration_ms"] is not None
-                              else 1)
+                frames.append(n_frames)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": kinds,

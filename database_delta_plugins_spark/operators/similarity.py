@@ -450,11 +450,152 @@ def _latest_changes(changes: DataFrame, id_col: str,
     )
 
 
+def _part_dirname(part_col: str, value) -> str:
+    """Hive partition directory name for a value — including the NULL
+    partition (``__HIVE_DEFAULT_PARTITION__``), which a naive f-string
+    cannot address (ADVICE r4)."""
+    return (f"{part_col}=__HIVE_DEFAULT_PARTITION__" if value is None
+            else f"{part_col}={value}")
+
+
+def _index_version(index_path: str) -> int | None:
+    """Current version number from the ``_current`` pointer, or None for
+    a legacy flat layout (bare ``partitionBy`` output, no pointer)."""
+    import os
+
+    ptr = os.path.join(index_path, "_current")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        return int(f.read().strip().lstrip("_v"))
+
+
+def _index_root(index_path: str) -> str:
+    """Resolve the data root a reader should scan: the pointed-to
+    version directory, or the path itself for a legacy flat layout."""
+    import os
+
+    v = _index_version(index_path)
+    return index_path if v is None else os.path.join(index_path, f"_v{v}")
+
+
+def index_read(spark, index_path: str) -> DataFrame:
+    """Open a persisted ANN index for reading. Resolves the ``_current``
+    version pointer (stage-and-swap layout, see ``index_write``) so a
+    reader binds to ONE immutable version directory — an upsert swapping
+    the pointer mid-query never mixes old and new files into one scan.
+    Legacy flat layouts (no pointer) read as-is."""
+    return spark.read.parquet(_index_root(index_path))
+
+
+def index_write(df: DataFrame, index_path: str, part_col: str) -> str:
+    """Initial build of a versioned ANN index: the partitioned parquet
+    lands under ``index_path/_v1`` and ``_current`` points at it —
+    the LakeTable manifest pattern applied to index storage. Per-
+    partition posting counts are recorded in ``_v1/_stats.json`` (one
+    column-pruned pass over the fresh parquet — row counts come from
+    footers) so upserts can maintain them incrementally (r5 drift
+    audit). Returns the version directory written."""
+    import os
+
+    root = os.path.join(index_path, "_v1")
+    df.write.partitionBy(part_col).parquet(root)
+    spark = df.sparkSession
+    counts = {
+        _part_dirname(part_col, r[0]): r[1]
+        for r in spark.read.parquet(root)
+        .groupBy(part_col).count().collect()
+    }
+    _write_stats(root, counts)
+    _swap_pointer(index_path, 1)
+    return root
+
+
+def _write_stats(version_dir: str, counts: dict[str, int]) -> None:
+    """Persist per-partition posting counts inside the version directory
+    (underscore-prefixed: invisible to Spark's parquet listing; GC'd
+    with its version). Bounded driver-side state: one int per live
+    partition — IVF cell counts and 2^bits LSH buckets, not rows."""
+    import json
+    import os
+
+    with open(os.path.join(version_dir, "_stats.json"), "w") as f:
+        json.dump(counts, f)
+
+
+def _read_stats(version_dir: str) -> dict[str, int] | None:
+    import json
+    import os
+
+    p = os.path.join(version_dir, "_stats.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+#: Documented rebuild threshold for the frozen-quantizer drift audit:
+#: when the largest partition exceeds the mean by this factor, the
+#: distribution has shifted enough that partition pruning degrades —
+#: schedule a re-train/rebuild (a re-train is a rebuild by definition).
+INDEX_REBUILD_IMBALANCE = 4.0
+
+
+def _imbalance_stats(counts: dict[str, int]) -> dict:
+    """max/mean posting-count imbalance + rebuild recommendation from a
+    per-partition count map (the IVF drift audit, r5 — also meaningful
+    for LSH buckets)."""
+    live = [c for c in counts.values() if c > 0]
+    if not live:
+        return {"cells": 0, "max_cell": 0, "mean_cell": 0.0,
+                "imbalance": None, "rebuild_recommended": False}
+    mx, mean = max(live), sum(live) / len(live)
+    imb = round(mx / mean, 3)
+    return {"cells": len(live), "max_cell": mx,
+            "mean_cell": round(mean, 2), "imbalance": imb,
+            "rebuild_recommended": imb > INDEX_REBUILD_IMBALANCE}
+
+
+def _swap_pointer(index_path: str, version: int) -> None:
+    """Atomically (os.replace) point ``_current`` at ``_v{version}``."""
+    import os
+
+    tmp = os.path.join(index_path, f"_current.tmp.{version}")
+    with open(tmp, "w") as f:
+        f.write(f"_v{version}")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(index_path, "_current"))
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Mirror a partition directory into the staged version via
+    hardlinks (O(files) metadata ops, zero data copy — the local-FS
+    analogue of an object-store manifest referencing unchanged data
+    files). Falls back to copy where links cross devices."""
+    import os
+    import shutil
+
+    os.makedirs(dst, exist_ok=True)
+    for name in os.listdir(src):
+        s, d = os.path.join(src, name), os.path.join(dst, name)
+        if os.path.isdir(s):
+            _link_tree(s, d)
+        else:
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+
 def _index_upsert(spark, index_path: str, changes: DataFrame,
                   assign, part_col: str, id_col: str,
                   vec_col: str) -> dict:
     """Partition-local upsert of a persisted ANN index (parquet laid out
-    ``partitionBy(part_col)``) from a CDF window.
+    ``partitionBy(part_col)``) from a CDF window — STAGE-AND-SWAP (r5):
+    the rewrite lands in a NEW version directory and becomes visible
+    only through one atomic pointer replace, so a concurrent reader
+    sees the old index or the new one, never a mix.
 
     Shape, built for scale:
       1. collapse the window to one final change per key (narrow agg);
@@ -463,29 +604,44 @@ def _index_upsert(spark, index_path: str, changes: DataFrame,
          semi-joined to the broadcast changed-key set;
       3. assign new/updated vectors their partition under the index's
          own (frozen) hash/quantizer;
-      4. rewrite ONLY the affected partitions: surviving old rows
-         (broadcast anti on changed keys) + new rows, written with
-         per-write dynamic partitionOverwriteMode so untouched
-         partitions' files are never rewritten;
-      5. partitions left EMPTY by deletes get no file from the dynamic
-         overwrite (Spark leaves them as-is) — their directories are
-         removed explicitly.
+      4. stage version N+1: hardlink every UNTOUCHED partition directory
+         from version N (metadata-only, no data copy — on an object
+         store this is a manifest referencing the same data files), and
+         write only the affected partitions' new contents into the
+         staged directory; partitions left empty by deletes are simply
+         not linked or written;
+      5. atomically swap the ``_current`` pointer (os.replace); version
+         N is RETAINED so readers that resolved it before the swap
+         finish their scan on immutable files, and versions older than
+         N are garbage-collected.
 
-    Durability contract: a maintenance operation from the single writer,
-    like LakeTable.compact — NOT transactional against concurrent
-    readers mid-rewrite (an object-store deployment stages the affected
-    partitions under a new index version directory and swaps a pointer,
-    exactly the LakeTable manifest pattern; a crash mid-write here is
-    repaired by re-running the upsert or rebuilding, both idempotent
-    for the same CDF window)."""
+    A crash mid-stage leaves a dangling ``_v{N+1}`` directory that the
+    pointer never references — re-running the upsert (idempotent for
+    the same CDF window) or rebuilding repairs it. Legacy flat layouts
+    (no ``_current``) are migrated in place: their first upsert stages
+    ``_v1`` and removes the flat partition directories after the swap
+    (the one non-transactional step, unavoidable for a layout that
+    was never versioned — build with ``index_write`` to avoid it)."""
     import os
     import shutil
 
-    idx = spark.read.parquet(index_path)
+    cur_version = _index_version(index_path)
+    cur_root = _index_root(index_path)
+    idx = spark.read.parquet(cur_root)
     data_cols = [c for c in idx.columns if c != part_col]
     missing = [c for c in data_cols if c not in changes.columns]
     if missing:
         raise ValueError(f"changes feed lacks index columns {missing}")
+    # drift audit (r5): per-partition posting counts are maintained
+    # incrementally — carried forward for untouched partitions, refreshed
+    # only for affected ones. A legacy/pre-stats index pays one full
+    # column-pruned count (footer row counts) to bootstrap the map.
+    prev_counts = _read_stats(cur_root)
+    if prev_counts is None:
+        prev_counts = {
+            _part_dirname(part_col, r[0]): r[1]
+            for r in idx.groupBy(part_col).count().collect()
+        }
     latest = _latest_changes(
         changes, id_col, [c for c in data_cols if c != id_col]
     ).localCheckpoint(eager=False)
@@ -496,48 +652,92 @@ def _index_upsert(spark, index_path: str, changes: DataFrame,
                  .join(F.broadcast(ids), id_col, "semi")
                  .select(part_col).distinct())
     new_parts = ups.select(part_col).distinct()
-    parts = sorted(r[0] for r in old_parts.union(new_parts)
-                   .distinct().collect())
+    parts = [r[0] for r in old_parts.union(new_parts).distinct().collect()]
     if not parts:
         return {"partitions_rewritten": 0, "partitions_cleared": 0,
-                "upserts": 0, "deletes": 0}
+                "upserts": 0, "deletes": 0,
+                **_imbalance_stats(prev_counts)}
+    affected_dirs = {_part_dirname(part_col, p) for p in parts}
+    # affected partitions' new contents: surviving old rows + upserts.
+    # Reads ONLY version N files and writes ONLY the staged _v{N+1}
+    # dir — no read-overwrite hazard, so no checkpoint is needed for
+    # safety; the lazy one just shares the compute between the
+    # live-partition probe and the write.
+    affected_vals = [p for p in parts if p is not None]
+    sel = F.col(part_col).isin(affected_vals)
+    if any(p is None for p in parts):
+        sel = sel | F.col(part_col).isNull()
     content = (
-        idx.filter(F.col(part_col).isin(parts))
+        idx.filter(sel)
         .join(F.broadcast(ids), id_col, "left_anti")
         .select(*data_cols, part_col)
         .unionByName(ups.select(*data_cols, part_col))
     ).localCheckpoint(eager=False)
-    live_parts = {r[0] for r in content.select(part_col).distinct().collect()}
-    (
-        content.repartition(max(len(live_parts), 1), part_col)
-        .write.partitionBy(part_col)
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
-        .parquet(index_path)
-    )
-    cleared = 0
-    for p in parts:
-        if p not in live_parts:
-            d = os.path.join(index_path, f"{part_col}={p}")
-            if os.path.isdir(d):
-                shutil.rmtree(d)
-                cleared += 1
+    # ONE job yields both the live-partition set and the refreshed
+    # posting counts for the affected partitions (the drift audit's
+    # incremental half)
+    live_counts = {r[0]: r[1]
+                   for r in content.groupBy(part_col).count().collect()}
+    live_parts = set(live_counts)
+
+    new_version = (cur_version or 0) + 1
+    staged = os.path.join(index_path, f"_v{new_version}")
+    if os.path.exists(staged):          # dangling crash leftover
+        shutil.rmtree(staged)
+    os.makedirs(staged)
+    for name in os.listdir(cur_root):
+        src = os.path.join(cur_root, name)
+        if (os.path.isdir(src) and "=" in name
+                and name not in affected_dirs):
+            _link_tree(src, os.path.join(staged, name))
+    if live_parts:
+        (
+            content.repartition(len(live_parts), part_col)
+            .write.partitionBy(part_col)
+            .mode("append")
+            .parquet(staged)
+        )
+    new_counts = {k: v for k, v in prev_counts.items()
+                  if k not in affected_dirs}
+    new_counts.update({_part_dirname(part_col, p): c
+                       for p, c in live_counts.items()})
+    _write_stats(staged, new_counts)
+    _swap_pointer(index_path, new_version)
+    # retain version N for in-flight readers; GC anything older
+    for name in os.listdir(index_path):
+        if name.startswith("_v") and name[2:].isdigit():
+            if int(name[2:]) < (cur_version or new_version) \
+                    and int(name[2:]) != new_version:
+                shutil.rmtree(os.path.join(index_path, name),
+                              ignore_errors=True)
+    if cur_version is None:
+        # legacy flat layout: the flat partition dirs ARE the old
+        # version; remove them now that _v1 is live (migration step)
+        for name in os.listdir(index_path):
+            p = os.path.join(index_path, name)
+            if os.path.isdir(p) and "=" in name:
+                shutil.rmtree(p, ignore_errors=True)
     n_del = latest.filter(F.col("_change_type") == "delete").count()
     n_ups = latest.count() - n_del
     return {"partitions_rewritten": len(live_parts & set(parts)),
-            "partitions_cleared": cleared,
-            "upserts": n_ups, "deletes": n_del}
+            "partitions_cleared": len(set(parts) - live_parts),
+            "upserts": n_ups, "deletes": n_del,
+            "version": new_version,
+            **_imbalance_stats(new_counts)}
 
 
 def lsh_index_upsert(spark, index_path: str, changes: DataFrame,
                      dim: int, bits: int = 8, id_col: str = "vec_id",
                      vec_col: str = "embedding") -> dict:
-    """Incrementally refresh a persisted LSH signature index
-    (``lsh_build(...).write.partitionBy('sig')``) from a
+    """Incrementally refresh a persisted LSH signature index (built
+    with ``index_write(lsh_build(...), path, 'sig')``; legacy bare
+    ``partitionBy('sig')`` layouts migrate on first upsert) from a
     ``LakeTable.changes()`` window. The hyperplane family is a pure
     function of (bits, dim), so new vectors hash into the existing
     layout with no retraining; the refreshed index is row-identical to
-    a full rebuild over the post-window table (pytest-proven)."""
+    a full rebuild over the post-window table (pytest-proven), and the
+    swap is atomic — concurrent ``index_read`` sees old-or-new, never
+    a mix."""
     return _index_upsert(
         spark, index_path, changes,
         lambda d: lsh_signature(d, dim, bits=bits, vec_col=vec_col),
@@ -548,11 +748,21 @@ def ivf_index_upsert(spark, index_path: str, changes: DataFrame,
                      centroids: list[list[float]],
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> dict:
-    """Incrementally refresh a persisted IVF index
-    (``ivf_build(...)[0].write.partitionBy('_cell')``) from a
+    """Incrementally refresh a persisted IVF index (built with
+    ``index_write(ivf_build(...)[0], path, '_cell')``; legacy bare
+    ``partitionBy('_cell')`` layouts migrate on first upsert) from a
     ``LakeTable.changes()`` window, under the FROZEN centroid set the
     index was built with (re-train centroids on your own schedule; a
-    re-train is a rebuild by definition)."""
+    re-train is a rebuild by definition). Stage-and-swap like the LSH
+    variant: readers never see a torn index.
+
+    Drift audit (r5): under a frozen quantizer, cell imbalance grows as
+    the vector distribution shifts. The return dict carries
+    ``cells / max_cell / mean_cell / imbalance`` (max/mean posting
+    counts, maintained incrementally in the version's ``_stats.json``)
+    and ``rebuild_recommended`` — True once imbalance exceeds
+    ``INDEX_REBUILD_IMBALANCE`` (4.0): pruning quality has degraded
+    enough that the caller should schedule a centroid re-train."""
     return _index_upsert(
         spark, index_path, changes,
         lambda d: ivf_assign(d, centroids, vec_col=vec_col),

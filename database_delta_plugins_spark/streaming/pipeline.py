@@ -200,14 +200,52 @@ class CDCPipeline:
         # use the full-scan audit (no footers to read). The socket
         # transport is NOT replayable by the checkpoint (Spark's socket
         # source keeps no offsets) — exactly-once across a restart
-        # comes from the engine's own fencing instead: the server
-        # re-tails from the beginning (a binlog reconnect) and the D11
-        # lsn replay filter + epoch fences drop everything already
-        # applied, reconverging to the identical state (pytest-proven).
+        # comes from the engine's own mechanisms instead: the server is
+        # asked for the tail beyond the table's committed frontier
+        # (serve_jsonl_log(from_lsn=pipeline.committed_frontier) — the
+        # binlog "start from position" contract, r5), and the D11
+        # committed-lsn filter drops any overlap a cruder server still
+        # re-serves; epoch fences are namespaced per incarnation (see
+        # _fence_ns) so they guard intra-run retries only. Reconverges
+        # to the identical state either way (pytest-proven).
         if source_format not in ("parquet", "json", "socket"):
             raise ValueError(
                 f"source_format must be parquet|json|socket, got {source_format!r}")
         self.source_format = source_format
+        # ADVICE r4: for the socket transport event_log_dir is a
+        # host:port address — validate at CONSTRUCTION (a bare
+        # int('') ValueError deep in read_stream is a terrible config
+        # error; an unbracketed IPv6 literal would silently mis-split)
+        if source_format == "socket":
+            addr = event_log_dir
+            if addr.startswith("["):           # [v6]:port
+                h, sep, p = addr.rpartition("]:")
+                ok = bool(sep) and p.isdigit()
+                self._socket_addr = (h[1:], int(p)) if ok else None
+            else:
+                h, sep, p = addr.rpartition(":")
+                ok = bool(sep) and bool(h) and ":" not in h and p.isdigit()
+                self._socket_addr = (h, int(p)) if ok else None
+            if self._socket_addr is None:
+                raise ValueError(
+                    "source_format='socket' requires event_log_dir to be "
+                    f"a 'host:port' (or '[ipv6]:port') address, got {addr!r}")
+        # Epoch-fence namespace (r5). File sources get "": the checkpoint
+        # replays a failed micro-batch with the SAME epoch id and content,
+        # so the fence makes the redo a no-op. The socket source cannot
+        # checkpoint-replay — every restart is a fresh checkpoint whose
+        # batch ids restart at 0 — so an un-namespaced fence COLLIDES
+        # with a previous incarnation's committed "0.*" and silently
+        # drops brand-new events (found by the r5 tail-restart test).
+        # Namespacing per incarnation makes fences serve only intra-run
+        # task retries; cross-restart exactly-once comes from the D11
+        # committed-lsn frontier filter in _apply_table_log.
+        if source_format == "socket":
+            import uuid
+
+            self._fence_ns = f"s{uuid.uuid4().hex[:8]}."
+        else:
+            self._fence_ns = ""
         # U1/C4: binary.handling.mode analogue — with 'hex'/'base64' every
         # BinaryType payload column lands as a string (the reference
         # switches the emitted schema on the knob,
@@ -604,13 +642,30 @@ class CDCPipeline:
         boundaries, merge each segment as its own fenced sub-epoch,
         apply each DDL transactionally between segments (A4)."""
         table = LakeTable.load(self.spark, table_path)
+        # D11 replay frontier, fixed at batch entry — SOCKET TRANSPORT
+        # ONLY. The wire delivers the log in lsn order, so a new batch's
+        # events all sit above the committed frontier and anything at or
+        # below it is a replay (a reconnect re-serve, a re-delivered
+        # batch in a fresh incarnation) — the reference's consumer-side
+        # offset dedup (SqlServerRecordConsumer.java:88-97). File
+        # sources must NOT frontier-filter: Spark's file source orders
+        # batches by file mtime, not lsn (a 4-file write with tied
+        # mtimes measurably delivered lsn ranges out of order), so the
+        # premise fails — and they don't need it, because the checkpoint
+        # replays a failed batch with identical content and the epoch
+        # fence already makes that redo a no-op.
+        frontier = (table.last_committed_lsn()
+                    if self.source_format == "socket" else None)
         boundaries = [lsn for lsn, _ in ddl_rows]
         segments: list[tuple[str, int | None, int | None, list[tuple[int, str]]]] = []
         lo = None
+        ns = self._fence_ns
         for i, b in enumerate(boundaries):
-            segments.append((f"{epoch_id}.{seg_prefix}{i}", lo, b, [(b, ddl_rows[i][1])]))
+            segments.append((f"{ns}{epoch_id}.{seg_prefix}{i}", lo, b,
+                             [(b, ddl_rows[i][1])]))
             lo = b
-        segments.append((f"{epoch_id}.{seg_prefix}{len(boundaries)}", lo, None, []))
+        segments.append((f"{ns}{epoch_id}.{seg_prefix}{len(boundaries)}",
+                         lo, None, []))
 
         out = []
         # half-open segments [lo, hi): a DML sharing the DDL's lsn applies
@@ -628,7 +683,8 @@ class CDCPipeline:
                 table.record_epoch(seg_id, note="table_dropped")
                 table = table.refresh()
             if seg_id not in table.committed_epochs() and not table.is_dropped:
-                d = self._decoded(seg, dml_blacklist=dml_blacklist,
+                d = self._decoded(seg, last_lsn=frontier,
+                                  dml_blacklist=dml_blacklist,
                                   columns=columns)
                 if seg_lineage is not None:
                     # pre-folded by _grouped_segment_lineage (one job for
@@ -665,12 +721,30 @@ class CDCPipeline:
         return out
 
     # ------------------------------------------------------------- runners
+    def committed_frontier(self) -> int:
+        """The durable replay frontier: the max committed lsn across this
+        pipeline's tables (0 before any commit). This is the binlog
+        position the reference's connector stores in its offset state —
+        here it lives in the lake tables' commit lineage, so it survives
+        restarts with the data it fences. Pass as the tail server's
+        ``from_lsn`` callable (``sources/net.serve_jsonl_log``) so a
+        reconnect streams only events beyond what is already applied —
+        at 100 TB a from-0 re-tail re-ships the whole history over the
+        wire just for D11 to discard it."""
+        lo = 0
+        for p in self._all_table_paths():
+            if LakeTable.exists(p):
+                f = LakeTable.load(self.spark, p).last_committed_lsn()
+                if f is not None:
+                    lo = max(lo, f)
+        return lo
+
     def read_stream(self) -> DataFrame:
         if self.source_format == "socket":
-            host, _, port = self.event_log_dir.rpartition(":")
+            host, port = self._socket_addr
             lines = (
                 self.spark.readStream.format("socket")
-                .option("host", host).option("port", int(port)).load()
+                .option("host", host).option("port", port).load()
             )
             env = event_envelope_schema(self.payload_schema)
             # from_json decodes BinaryType from base64 exactly like the

@@ -135,3 +135,70 @@ def test_decode_media_real_png(spark):
         assert got[mid]["kind"] == "image"
         assert got[mid]["n_frames"] == 1
         assert np.allclose(got[mid]["feature"], want, atol=1e-6), mid
+
+
+def test_wav_roundtrip_golden():
+    """r5: the stdlib WAV codec — decode(encode(x)) == x for mono/
+    stereo/multichannel int16 PCM at several rates, plus malformed-
+    input rejection (non-PCM sampwidth)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from database_delta_plugins_spark.operators.multimodal import (
+        wav_decode,
+        wav_encode,
+    )
+
+    rng = np.random.RandomState(5)
+    for n, ch, rate in [(1, 1, 8000), (256, 2, 44100), (999, 4, 16000)]:
+        s = rng.randint(-32768, 32768, (n, ch)).astype(np.int16)
+        out, r = wav_decode(wav_encode(s, rate))
+        assert np.array_equal(out, s) and r == rate
+    # 1-D mono input round-trips as (n, 1)
+    s = rng.randint(-32768, 32768, 64).astype(np.int16)
+    out, _ = wav_decode(wav_encode(s))
+    assert out.shape == (64, 1) and np.array_equal(out[:, 0], s)
+    # extremes survive the int16 wire format
+    s = np.array([[-32768], [32767], [0]], dtype=np.int16)
+    assert np.array_equal(wav_decode(wav_encode(s))[0], s)
+    # 8-bit PCM is rejected, not silently misread
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01\x02")
+    try:
+        wav_decode(buf.getvalue())
+        raise AssertionError("8-bit WAV should be rejected")
+    except ValueError:
+        pass
+
+
+def test_decode_media_real_wav(spark):
+    """r5: decode_media(fake=False) really parses WAV — the feature
+    histogram of each row equals the one computed from the generative
+    sample formula, covering mono/stereo and all four lengths."""
+    import numpy as np
+
+    from database_delta_plugins_spark.operators.multimodal import (
+        decode_media,
+        synth_wav_media_df,
+    )
+
+    ids = spark.range(16).withColumnRenamed("id", "doc_id")
+    media = synth_wav_media_df(ids)
+    got = {r["media_id"]: r for r in decode_media(media, fake=False,
+                                                  feature_dim=8).collect()}
+    assert len(got) == 16
+    for mid in range(16):
+        n = 256 * (mid % 4 + 1)
+        ch = 1 if mid % 2 == 0 else 2
+        i, c = np.ogrid[0:n, 0:ch]
+        x = (7 * i * i + 13 * i + 31 * c + 17 * mid).ravel() % 8
+        want = np.bincount(x, minlength=8) / x.size
+        assert got[mid]["kind"] == "audio"
+        assert got[mid]["n_frames"] == n
+        assert np.allclose(got[mid]["feature"], want, atol=1e-6), mid

@@ -691,3 +691,144 @@ def test_socket_source_equals_parquet_and_replays(spark, sf_dir, tmp_path):
                         for e in p2.epoch_lineage)
     assert applied_after == 0, "replayed events were re-applied"
     assert t_after.version >= v_before
+
+
+def test_socket_tail_restart_streams_only_tail(spark, sf_dir, tmp_path):
+    """r5 directive #3: a restarted socket consumer is served only the
+    TAIL beyond its committed frontier (the binlog 'start from
+    position' contract — position read server-side from the lake
+    table's commit lineage via CDCPipeline.committed_frontier), not a
+    from-0 replay of the whole history; the converged state still
+    equals the full-log parquet reference (replay equivalence)."""
+    import os
+    import shutil
+
+    from database_delta_plugins_spark.sources.generator import rich_events_df
+    from database_delta_plugins_spark.sources.net import serve_jsonl_log
+
+    ev = rich_events_df(spark, sf_dir, revs=2, html_pad_bytes=64)
+    cut = ev.approxQuantile("lsn", [0.6], 0.0)[0]
+    head, tail = ev.filter(F.col("lsn") <= cut), ev.filter(F.col("lsn") > cut)
+    n_tail = tail.count()
+    assert n_tail > 0
+
+    plog, jlog = str(tmp_path / "plog"), str(tmp_path / "jlog")
+    ev.repartitionByRange(2, "lsn").write.parquet(plog)
+    head.coalesce(1).sortWithinPartitions("lsn", "seq").write.json(jlog)
+    # reference: full log through the parquet path
+    pref = CDCPipeline(spark, plog, str(tmp_path / "t_ref"),
+                       str(tmp_path / "c_ref"), num_buckets=4,
+                       derive_text_from_html=True)
+    ref = sorted((r["url"], r["text"], r["_lsn"], r["_is_deleted"])
+                 for r in pref.run_to_completion().scan().collect())
+
+    def _state(path):
+        t = LakeTable.load(spark, path)
+        return sorted((r["url"], r["text"], r["_lsn"], r["_is_deleted"])
+                      for r in t.scan().collect())
+
+    # phase 1: tail the head of the log, commit, stop
+    tsock = str(tmp_path / "t_sock")
+    p = CDCPipeline(spark, "127.0.0.1:1", tsock, str(tmp_path / "c1"),
+                    num_buckets=4, derive_text_from_html=True,
+                    source_format="socket")
+    p.bootstrap(replicate_existing_data=False)
+    srv = serve_jsonl_log(jlog, from_lsn=p.committed_frontier)
+    p = CDCPipeline(spark, f"127.0.0.1:{srv.port}", tsock,
+                    str(tmp_path / "c1b"), num_buckets=4,
+                    derive_text_from_html=True, source_format="socket")
+    q = p.start(available_now=False)
+    want_head = sorted((r["url"], r["text"], r["_lsn"], r["_is_deleted"])
+                       for r in CDCPipeline(
+                           spark, plog, str(tmp_path / "t_head"),
+                           str(tmp_path / "c_head"), num_buckets=4,
+                           derive_text_from_html=True)
+                       .apply_log_batch(head).scan().collect())
+    deadline = time.time() + 180
+    while time.time() < deadline and _state(tsock) != want_head:
+        time.sleep(1.0)
+    q.stop()
+    q.awaitTermination(60)
+    assert _state(tsock) == want_head
+    assert srv.stats[0]["from_lsn"] == 0
+
+    # the tail arrives in the log while the consumer is down
+    tdir = str(tmp_path / "jtail")
+    tail.coalesce(1).sortWithinPartitions("lsn", "seq").write.json(tdir)
+    for f in os.listdir(tdir):
+        if f.endswith(".json") and not f.startswith(("_", ".")):
+            shutil.copy(os.path.join(tdir, f),
+                        os.path.join(jlog, "zz-tail-" + f))
+
+    # phase 2: restart — the server reads the consumer's durable
+    # frontier at accept time and serves ONLY lsn > frontier
+    p2 = CDCPipeline(spark, "127.0.0.1:1", tsock, str(tmp_path / "c2"),
+                     num_buckets=4, derive_text_from_html=True,
+                     source_format="socket")
+    frontier = p2.committed_frontier()
+    assert 0 < frontier <= cut
+    srv2 = serve_jsonl_log(jlog, from_lsn=p2.committed_frontier)
+    p2 = CDCPipeline(spark, f"127.0.0.1:{srv2.port}", tsock,
+                     str(tmp_path / "c2b"), num_buckets=4,
+                     derive_text_from_html=True, source_format="socket")
+    q2 = p2.start(available_now=False)
+    deadline = time.time() + 180
+    while time.time() < deadline and _state(tsock) != ref:
+        time.sleep(1.0)
+    q2.stop()
+    q2.awaitTermination(60)
+    assert _state(tsock) == ref, "tail-only restart diverged from full log"
+    # wire-cost contract: the reconnect served only the tail
+    st = srv2.stats[0]
+    assert st["from_lsn"] == frontier
+    n_served = st["events"]
+    assert n_served <= n_tail, (
+        f"restart re-streamed history: {n_served} events served, "
+        f"tail is {n_tail}")
+
+
+def test_tail_server_survives_dropped_client(tmp_path):
+    """r5 ADVICE (medium): a client that disconnects mid-tail must not
+    kill the server thread — reconnects ('reconnect = replay from the
+    log', and Spark socket-source task retries) must still be served.
+    Pure socket test, no Spark: one big jsonl log, client 1 reads a few
+    KB and slams the connection (RST via SO_LINGER 0), client 2 then
+    reads the complete log."""
+    import os
+    import socket
+    import struct
+
+    from database_delta_plugins_spark.sources.net import serve_jsonl_log
+
+    log = tmp_path / "jlog"
+    os.makedirs(log)
+    n = 20000
+    with open(log / "part-00000.json", "w") as f:
+        for i in range(n):
+            f.write('{"lsn": %d, "pad": "%s"}\n' % (i, "x" * 120))
+
+    srv = serve_jsonl_log(str(log), max_clients=4)
+
+    c1 = socket.create_connection(("127.0.0.1", srv.port))
+    c1.recv(4096)
+    # SO_LINGER(on, 0): close sends RST -> server's sendall raises
+    c1.setsockopt(socket.SOL_SOCKET, socket.SO_LINGER,
+                  struct.pack("ii", 1, 0))
+    c1.close()
+
+    # the server must still accept and serve the FULL log
+    c2 = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+    got = b""
+    while True:
+        chunk = c2.recv(1 << 16)
+        if not chunk:
+            break
+        got += chunk
+    c2.close()
+    lines = got.decode().strip().split("\n")
+    assert len(lines) == n
+    assert json.loads(lines[-1])["lsn"] == n - 1
+    # audit: first connection recorded incomplete, second complete
+    assert srv.stats[0]["complete"] is False
+    assert srv.stats[1]["complete"] is True and srv.stats[1]["events"] == n
+    srv.close()

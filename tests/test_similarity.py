@@ -332,6 +332,8 @@ def test_incremental_index_upsert_equals_rebuild(spark, sf_dir, tmp_path):
     import numpy as np
 
     from database_delta_plugins_spark.operators.similarity import (
+        index_read,
+        index_write,
         ivf_assign,
         ivf_build,
         ivf_index_upsert,
@@ -350,11 +352,11 @@ def test_incremental_index_upsert_equals_rebuild(spark, sf_dir, tmp_path):
 
     lsh_idx = str(tmp_path / "lsh_idx")
     ivf_idx = str(tmp_path / "ivf_idx")
-    lsh_build(t.read().select("vec_id", "embedding"), dim, bits=3) \
-        .write.partitionBy("sig").parquet(lsh_idx)
+    index_write(lsh_build(t.read().select("vec_id", "embedding"),
+                          dim, bits=3), lsh_idx, "sig")
     assigned, cents = ivf_build(
         t.read().select("vec_id", "embedding"), n_cells=4)
-    assigned.write.partitionBy("_cell").parquet(ivf_idx)
+    index_write(assigned, ivf_idx, "_cell")
 
     # window: updates that flip signatures (negated vectors), fresh
     # inserts, deletes, and a multi-change key (update then delete)
@@ -376,20 +378,20 @@ def test_incremental_index_upsert_equals_rebuild(spark, sf_dir, tmp_path):
     want_lsh = {(r["vec_id"], r["sig"], tuple(np.round(r["embedding"], 9)))
                 for r in lsh_build(final, dim, bits=3).collect()}
     got_lsh = {(r["vec_id"], r["sig"], tuple(np.round(r["embedding"], 9)))
-               for r in spark.read.parquet(lsh_idx)
+               for r in index_read(spark, lsh_idx)
                .select("vec_id", "embedding", "sig").collect()}
     assert got_lsh == want_lsh
 
     want_ivf = {(r["vec_id"], r["_cell"]) for r in
                 ivf_assign(final, cents).select("vec_id", "_cell").collect()}
     got_ivf = {(r["vec_id"], r["_cell"]) for r in
-               spark.read.parquet(ivf_idx).select("vec_id", "_cell").collect()}
+               index_read(spark, ivf_idx).select("vec_id", "_cell").collect()}
     assert got_ivf == want_ivf
 
     # ANN answers agree between incrementally-refreshed and rebuilt index
     qv = [float(x) for x in ins[0][1]]
     got = [r["vec_id"] for r in
-           lsh_topk(spark.read.parquet(lsh_idx), qv, k=5, bits=3).collect()]
+           lsh_topk(index_read(spark, lsh_idx), qv, k=5, bits=3).collect()]
     want = [r["vec_id"] for r in
             lsh_topk(lsh_build(final, dim, bits=3), qv, k=5, bits=3).collect()]
     assert got == want
@@ -397,5 +399,175 @@ def test_incremental_index_upsert_equals_rebuild(spark, sf_dir, tmp_path):
     # idempotence: re-running the same window changes nothing
     lsh_index_upsert(spark, lsh_idx, ch, dim, bits=3)
     again = {(r["vec_id"], r["sig"]) for r in
-             spark.read.parquet(lsh_idx).select("vec_id", "sig").collect()}
+             index_read(spark, lsh_idx).select("vec_id", "sig").collect()}
     assert again == {(a, b) for a, b, _ in got_lsh}
+
+
+def test_index_upsert_stage_and_swap_reader_isolation(spark, tmp_path):
+    """r5 directive #6: a reader concurrent with an upsert sees the OLD
+    index or the NEW one, never a mix. index_read binds to the version
+    directory the _current pointer named at open time; the upsert writes
+    a NEW version dir and swaps the pointer atomically, retaining the
+    previous version's files — so the pre-swap DataFrame keeps scanning
+    immutable old files (re-collected AFTER the swap), and a fresh
+    index_read sees exactly the refreshed index."""
+    import numpy as np
+
+    from database_delta_plugins_spark.operators.similarity import (
+        index_read,
+        index_write,
+        lsh_build,
+        lsh_index_upsert,
+    )
+
+    rng = np.random.RandomState(7)
+    dim, n = 8, 30
+    base = [(i, rng.randn(dim).tolist(), "I", i + 1) for i in range(n)]
+    t = _mk_emb_table(spark, tmp_path)
+    t.merge(_vecs(spark, base), epoch_id=1)
+    t = t.refresh()
+    v1 = t.version
+    idx = str(tmp_path / "lsh_swap")
+    index_write(lsh_build(t.read().select("vec_id", "embedding"),
+                          dim, bits=3), idx, "sig")
+
+    old_reader = index_read(spark, idx)          # binds to _v1 files
+    before = {(r["vec_id"], r["sig"]) for r in
+              old_reader.select("vec_id", "sig").collect()}
+
+    upd = [(i, (-np.asarray(base[i][1])).tolist(), "U", 100 + i)
+           for i in range(0, 8)]
+    dels = [(i, None, "D", 200 + i) for i in range(8, 12)]
+    t.merge(_vecs(spark, upd + dels), epoch_id=2)
+    t = t.refresh()
+    rec = lsh_index_upsert(spark, idx, t.changes(v1), dim, bits=3)
+    assert rec["version"] == 2
+
+    # the pre-swap handle still reads the complete OLD index
+    after_old = {(r["vec_id"], r["sig"]) for r in
+                 old_reader.select("vec_id", "sig").collect()}
+    assert after_old == before, "pre-swap reader saw a torn/partial index"
+
+    # a fresh open reads exactly the refreshed index == full rebuild
+    final = t.read().select("vec_id", "embedding")
+    want = {(r["vec_id"], r["sig"]) for r in
+            lsh_build(final, dim, bits=3).collect()}
+    got = {(r["vec_id"], r["sig"]) for r in
+           index_read(spark, idx).select("vec_id", "sig").collect()}
+    assert got == want and got != before
+
+
+def test_index_upsert_migrates_legacy_flat_layout(spark, tmp_path):
+    """A pre-r5 flat index (bare partitionBy output, no _current
+    pointer) upserts correctly: first upsert stages _v1, swaps the
+    pointer in, and removes the flat partition dirs; index_read resolves
+    both layouts."""
+    import os
+
+    import numpy as np
+
+    from database_delta_plugins_spark.operators.similarity import (
+        index_read,
+        lsh_build,
+        lsh_index_upsert,
+    )
+
+    rng = np.random.RandomState(11)
+    dim, n = 8, 20
+    base = [(i, rng.randn(dim).tolist(), "I", i + 1) for i in range(n)]
+    t = _mk_emb_table(spark, tmp_path)
+    t.merge(_vecs(spark, base), epoch_id=1)
+    t = t.refresh()
+    v1 = t.version
+    idx = str(tmp_path / "lsh_legacy")
+    lsh_build(t.read().select("vec_id", "embedding"), dim, bits=3) \
+        .write.partitionBy("sig").parquet(idx)
+
+    ins = [(n + i, rng.randn(dim).tolist(), "I", 100 + i) for i in range(5)]
+    t.merge(_vecs(spark, ins), epoch_id=2)
+    t = t.refresh()
+    rec = lsh_index_upsert(spark, idx, t.changes(v1), dim, bits=3)
+    assert rec["version"] == 1
+    assert os.path.exists(os.path.join(idx, "_current"))
+    assert not [d for d in os.listdir(idx)
+                if "=" in d], "legacy flat partition dirs not cleaned"
+    final = t.read().select("vec_id", "embedding")
+    want = {(r["vec_id"], r["sig"]) for r in
+            lsh_build(final, dim, bits=3).collect()}
+    got = {(r["vec_id"], r["sig"]) for r in
+           index_read(spark, idx).select("vec_id", "sig").collect()}
+    assert got == want
+
+
+def test_ivf_upsert_drift_audit_and_rebuild_signal(spark, tmp_path):
+    """r5 directive #7: every upsert returns the frozen-quantizer drift
+    audit — per-cell posting counts maintained INCREMENTALLY in the
+    version's _stats.json (untouched cells carried forward, only
+    affected cells recounted), surfaced as max/mean imbalance and a
+    rebuild recommendation against the documented threshold (4.0).
+    Construction: 8 orthogonal one-hot clusters (ids 0-7 are the seed
+    anchors, so ivf_build's quantizer is exactly the cluster centers);
+    a small balanced window keeps rebuild_recommended False, then a
+    60-vector pile-up on cluster 0 drives imbalance past 4.0."""
+    import numpy as np
+
+    from database_delta_plugins_spark.operators.similarity import (
+        INDEX_REBUILD_IMBALANCE,
+        index_read,
+        index_write,
+        ivf_build,
+        ivf_index_upsert,
+    )
+
+    dim = 8
+    rng = np.random.RandomState(3)
+
+    def clustered(i, cluster):
+        v = rng.randn(dim) * 0.01
+        v[cluster] += 10.0
+        return v.tolist()
+
+    base = [(i, clustered(i, i % dim), "I", i + 1) for i in range(48)]
+    t = _mk_emb_table(spark, tmp_path)
+    t.merge(_vecs(spark, base), epoch_id=1)
+    t = t.refresh()
+    v1 = t.version
+    idx = str(tmp_path / "ivf_drift")
+    assigned, cents = ivf_build(
+        t.read().select("vec_id", "embedding"), n_cells=8)
+    index_write(assigned, idx, "_cell")
+
+    def truth():
+        return {r["_cell"]: r["count"] for r in
+                index_read(spark, idx).groupBy("_cell").count().collect()}
+
+    # window 1: small balanced drift into cluster 1 -> no rebuild signal
+    ins1 = [(100 + i, clustered(100 + i, 1), "I", 100 + i)
+            for i in range(4)]
+    t.merge(_vecs(spark, ins1), epoch_id=2)
+    t = t.refresh()
+    rec1 = ivf_index_upsert(spark, idx, t.changes(v1), cents)
+    counts = truth()
+    assert rec1["cells"] == len(counts) == 8
+    assert rec1["max_cell"] == max(counts.values()) == 10
+    assert rec1["mean_cell"] == round(sum(counts.values()) / 8, 2) == 6.5
+    assert rec1["imbalance"] == round(10 / 6.5, 3)
+    assert rec1["rebuild_recommended"] is False
+    v2 = t.version
+
+    # window 2: 60 inserts all in cluster 0 -> only cell 0 is rewritten,
+    # every other cell's count must carry forward (incremental half),
+    # and the imbalance crosses the rebuild threshold
+    ins2 = [(200 + i, clustered(200 + i, 0), "I", 200 + i)
+            for i in range(60)]
+    t.merge(_vecs(spark, ins2), epoch_id=3)
+    t = t.refresh()
+    rec2 = ivf_index_upsert(spark, idx, t.changes(v2), cents)
+    counts = truth()
+    assert rec2["partitions_rewritten"] == 1
+    assert rec2["cells"] == 8
+    assert rec2["max_cell"] == max(counts.values()) == 66
+    assert rec2["mean_cell"] == round(sum(counts.values()) / 8, 2) == 14.0
+    assert rec2["imbalance"] == round(66 / 14.0, 3)
+    assert rec2["imbalance"] > INDEX_REBUILD_IMBALANCE
+    assert rec2["rebuild_recommended"] is True
