@@ -586,14 +586,37 @@ def main() -> None:
                 "structure linear; embeddings ×32 rotated) because the "
                 "raw sf tables are single-row-group files a few MB in "
                 "size: at that scale every ratio measures Spark fixed "
-                "latency, not the operator. Named ceiling: "
-                "`dedup_clusters`/`training_corpus` include the "
-                "connected-components convergence loop — O(log "
-                "diameter) DRIVER-SEQUENCED rounds (one job each, "
-                "~0.5-1 s/round at this scale), a serial fraction that "
-                "shrinks with data volume but can never hit 1.0 on a "
-                "seconds-long run; at 10^9-node graphs the per-round "
-                "join work dwarfs the round latency.\n\n"
+                "latency, not the operator.\n\n"
+                "Named ceilings (r5, phase-level attribution from "
+                "`tools/profile_llm_scaling.py` — pinned min-of-2, each "
+                "phase timed END TO END across construction + "
+                "checkpoint + count):\n\n"
+                "- `minhash_lsh`: the dominant phase (sig_bandrows — "
+                "parquet scan + regex tokenize + shingle hash + numpy "
+                "permutation kernel, ~74% of wall: 13.6 s → 5.4 s) "
+                "scales at 0.63 = 2.5×/4 cores, inside this host's "
+                "measured 2.3× (parquet decompress) – 3.2× (RE2) "
+                "memory-bandwidth ceiling band for scan-shaped work; "
+                "the short phases carry ~1.2 s of core-count-INVARIANT "
+                "per-job driver latency (band_join: 1.77 → 1.31 s, "
+                "0.34 efficiency — nearly constant wall). On a real "
+                "cluster the N→4N step adds memory controllers with "
+                "the executors, so the bandwidth term scales and only "
+                "the ~1 s/job driver term remains.\n"
+                "- `embed_neardup`: signature 0.68, GEMM 0.74 — the "
+                "same bandwidth band (×32 embedding-table scan + "
+                "numpy GEMM) plus the same fixed per-job latency on "
+                "seconds-long phases.\n"
+                "- `dedup_clusters`/`training_corpus`: the former "
+                "driver-sequenced connected-components rounds are GONE "
+                "below 2M edges (r5 size-gated driver union-find, "
+                "sub-second and core-invariant); the residual sub-0.8 "
+                "efficiency tracks the inverted-index shingle join — "
+                "the same scan-bandwidth band as minhash_lsh. Above "
+                "2M edges the O(log diameter) pointer-jumping rounds "
+                "return (~0.5-1 s/round of driver latency), a serial "
+                "fraction that shrinks as per-round join work grows "
+                "with graph size.\n\n"
                 if llm else ""
             )
             + "Headline query times (sec, min-of-%d interleaved rounds) "

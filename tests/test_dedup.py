@@ -110,8 +110,14 @@ def test_connected_components_chain_and_clusters(spark):
         [(1, 2), (2, 3), (3, 4),        # chain 1-2-3-4
          (10, 11), (11, 12), (10, 12)], # triangle
         "id_a: long, id_b: long")
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+    # driver union-find fast path (default below DRIVER_CC_MAX_EDGES)
     got = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+    assert got == want
+    # distributed pointer-jumping path (forced) — identical semantics
+    got_d = {r["node"]: r["comp"] for r in
+             connected_components(pairs, driver_max_edges=0).collect()}
+    assert got_d == want
 
 
 def test_connected_components_long_path_pointer_jumping(spark):
@@ -125,13 +131,19 @@ def test_connected_components_long_path_pointer_jumping(spark):
 
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(999)], "id_a long, id_b long")
-    got = connected_components(pairs, max_iter=12).collect()
+    got = connected_components(pairs, max_iter=12,
+                               driver_max_edges=0).collect()
     assert len(got) == 1000
     assert all(r["comp"] == 0 for r in got)
 
     # and non-convergence is now a signal, not silence
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iter=2)
+        connected_components(pairs, max_iter=2, driver_max_edges=0)
+
+    # the driver union-find path (the default at this size) is exact on
+    # the same worst-case chain, with no iteration cap to trip
+    got_drv = connected_components(pairs).collect()
+    assert len(got_drv) == 1000 and all(r["comp"] == 0 for r in got_drv)
 
 
 def test_simhash_arrow_impl_matches_catalyst(spark, sf_dir):

@@ -2,12 +2,15 @@
 scaling lacked a named ceiling in r4 (BENCH/BASELINE.md: minhash_lsh
 0.708, embed_neardup 0.75 — below the 0.8 bar, cause unattributed).
 
-Decomposes each op at its materialization boundaries (the lazy
-localCheckpoints — exactly where work is forced) and times each phase
-at pinned local[1] and local[4] on the derived bench corpus, so the
-flattening phase is measurable instead of guessed. Also counts Spark
-jobs per phase (driver fixed cost per job is core-count-invariant — a
-serial floor).
+Each phase is timed END TO END — DataFrame construction (py4j +
+analysis, pure driver), lazy-checkpoint wrapping, AND the
+materializing count — because the driver-side portion is exactly the
+core-count-invariant serial floor being hunted. (The first cut of
+this tool timed only the final counts and silently parked ~80% of the
+wall in un-timed construction — phase attribution was garbage. The
+lesson is general: with lazy localCheckpoints, work is forced at
+wrapper-call/first-action time, so a phase budget must bracket the
+whole phase, not the last action.)
 
 Usage:  python tools/profile_llm_scaling.py            # orchestrates both pins
         python tools/profile_llm_scaling.py --cores N  # one pinned worker
@@ -29,7 +32,8 @@ sys.path.insert(0, REPO)
 def _phases_minhash(spark, corpus: str, entrymod) -> dict:
     """minhash_lsh_pairs internals split at its checkpoint boundaries
     (operators/dedup.py:minhash_lsh_pairs — same params as the bench:
-    threshold=0.3 => bands=16)."""
+    threshold=0.3 => bands=16). Each phase = construction +
+    materialization of one checkpoint frontier."""
     from pyspark.sql import functions as F
 
     from database_delta_plugins_spark.operators.dedup import (
@@ -39,15 +43,15 @@ def _phases_minhash(spark, corpus: str, entrymod) -> dict:
         minhash_signature_arrow,
     )
 
-    docs = entrymod._docs(spark, corpus)
     out = {}
+    t0 = time.time()
 
-    def timed(label, fn):
-        t0 = time.time()
-        r = fn()
+    def mark(label):
+        nonlocal t0
         out[label] = round(time.time() - t0, 2)
-        return r
+        t0 = time.time()
 
+    docs = entrymod._docs(spark, corpus)
     bands, rows_per_band = 16, 4
     base = _shingle_base(docs, "doc_id", "text", 3)
     sigs = minhash_signature_arrow(base)
@@ -60,24 +64,24 @@ def _phases_minhash(spark, corpus: str, entrymod) -> dict:
             for b in range(bands)])).alias("band", "band_hash"))
     bandrows = _cap_postings(bandrows, ["band", "band_hash"], 50) \
         .localCheckpoint(eager=False)
-    timed("sig_bandrows", lambda: bandrows.count())
+    bandrows.count()
+    mark("sig_bandrows")          # shingle+kernel+band+cap, one pass
     a = bandrows.select("band", "band_hash", F.col("id").alias("id_a"))
     b = bandrows.select("band", "band_hash", F.col("id").alias("id_b"))
     cand = (a.join(b, ["band", "band_hash"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").dropDuplicates(["id_a", "id_b"]))
     cand = cand.localCheckpoint(eager=False)
-    timed("band_join", lambda: cand.count())
-    ver = _verify_exact_jaccard(cand, docs, "doc_id", "text", 3, 0.3)
-    timed("verify", lambda: ver.count())
+    cand.count()
+    mark("band_join")
+    _verify_exact_jaccard(cand, docs, "doc_id", "text", 3, 0.3).count()
+    mark("verify")
     return out
 
 
 def _phases_embed(spark, corpus: str, entrymod) -> dict:
     """cosine_neardup_pairs_arrow internals (the bench's production
     posture: GEMM scorer, cap 200, bits grown for the x32 corpus)."""
-    from pyspark.sql import functions as F
-
     from database_delta_plugins_spark.operators.similarity import (
         _cap_sig_bucket,
         cosine_neardup_pairs_arrow,
@@ -85,24 +89,27 @@ def _phases_embed(spark, corpus: str, entrymod) -> dict:
     )
 
     out = {}
+    t0 = time.time()
+
+    def mark(label):
+        nonlocal t0
+        out[label] = round(time.time() - t0, 2)
+        t0 = time.time()
+
     dbl = entrymod._dbl(entrymod._emb(spark, corpus))
     dim = len(dbl.head()["embedding"])
+    mark("dim_head")              # one-row corpus probe
     bits = entrymod._NEARDUP_BITS + 5  # LLM_EMB_MULT=32 -> +5, as in bench
-
-    t0 = time.time()
     s = lsh_signature_arrow(dbl.select("vec_id", "embedding"), dim, bits=bits)
     s = _cap_sig_bucket(s, "vec_id", 200).localCheckpoint(eager=False)
     s.count()
-    out["signature"] = round(time.time() - t0, 2)
-
-    t0 = time.time()
+    mark("signature")
     # full op (signature recomputed inside) minus measured signature ≈
     # bucket groupBy + GEMM + dedup
-    full = cosine_neardup_pairs_arrow(
+    cosine_neardup_pairs_arrow(
         dbl, dim=dim, threshold=entrymod._NEARDUP_T, bits=bits,
-        max_bucket=200)
-    full.count()
-    out["full_op"] = round(time.time() - t0, 2)
+        max_bucket=200).count()
+    mark("full_op")
     out["gemm_phase_est"] = round(out["full_op"] - out["signature"], 2)
     return out
 
