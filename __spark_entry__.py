@@ -598,6 +598,22 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(d, chunk_tokens=16, overlap=8)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (r5): document-isolated greedy layout of the
+    chunked corpus into capacity-40 token sequences — the pretraining
+    step after chunking. The greedy recurrence runs JVM-side as an
+    F.aggregate fold per document (operators/text.py::pack_sequences);
+    the oracle replays the identical recurrence as a recursive CTE."""
+    from database_delta_plugins_spark.operators.text import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    d = _docs(spark, sf_dir)
+    return pack_sequences(chunk_documents(d, chunk_tokens=16, overlap=8),
+                          capacity=40)
+
+
 def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CAPSTONE composition — the whole training-data pipeline as one
     DataFrame program: corpus selection (quality ∧ language ∧ exact-dedup
@@ -802,6 +818,54 @@ def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode e2e (r5): synth_avi_media_df builds genuine
+    uncompressed RIFF/AVI byte streams executor-side (bottom-up BGR DIB
+    frames, DWORD-padded stride, idx1 index), decode_media(fake=False)
+    parses the container with the hand-rolled stdlib avi_decode, and
+    the feature is the DECODED-PIXEL histogram across all frames.
+    Canonicalized to exact integer counts (feature * n_pixels; <= 4608
+    pixels is float32-lossless) so the oracle — which derives the
+    histogram from the generative pixel formula, never touching AVI
+    bytes — matches byte-for-byte. Agreement proves decode inverts
+    encode: a frame drop, row mis-stride, vertical un-flip miss, or
+    BGR/RGB swap all shift the histogram. n_frames comes from counting
+    decoded 00db chunks, not metadata."""
+    from database_delta_plugins_spark.operators.multimodal import (
+        decode_media,
+        synth_avi_media_df,
+    )
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    media = synth_avi_media_df(ids)
+    d = decode_media(media, fake=False, feature_dim=8)
+    mid = F.col("media_id")
+    npix = ((mid % 3 + 2) * (8 * (mid % 3 + 1)) * (8 * (mid % 2 + 1)) * 3)
+    counts = F.transform(
+        F.col("feature"),
+        lambda x: F.round(x * npix.cast("float"), 0).cast("int"),
+    )
+    return d.select(
+        "media_id",
+        F.concat_ws(",", F.transform(counts, lambda c: c.cast("string")))
+        .alias("pixel_hist"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+    )
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (r5) over documents: duplicate-
+    line fractions (array-local, no shuffle), top-2/3-gram char
+    coverage, duplicated-5-gram char fraction, and the composite
+    `flagged` policy bit — the repetition-removal filter family a
+    pretraining pipeline runs between language-ID and dedup
+    (operators/text.py::repetition_stats). Every shuffle is keyed by
+    doc_id: embarrassingly doc-parallel at 100 TB."""
+    from database_delta_plugins_spark.operators.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def q_ann_index_upsert_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r4: incremental ANN index maintenance off the change feed,
     gate-visible as a VIOLATION SET (like extract_text_roundtrip —
@@ -957,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q_corpus_sample,
         "training_corpus": q_training_corpus,
         "chunk_docs": q_chunk_docs,
+        "pack_sequences": q_pack_sequences,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "corpus_select": q_corpus_select,
@@ -970,6 +1035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_png": q_multimodal_png,
         "multimodal_wav": q_multimodal_wav,
+        "multimodal_avi": q_multimodal_avi,
+        "text_repetition": q_text_repetition,
         "extract_text_roundtrip": q_extract_text_roundtrip,
         "ann_index_upsert_check": q_ann_index_upsert_check,
     }
@@ -1472,6 +1539,44 @@ def oracle_sql() -> dict[str, str]:
                  CAST(len(ws[cid*8+1 : cid*8+16]) AS BIGINT) AS n_tokens
           FROM e
         """,
+        # the same greedy recurrence as pack_sequences' F.aggregate fold,
+        # replayed as a recursive CTE over chunk order (chunk arithmetic
+        # shared with the chunk_docs oracle above)
+        "pack_sequences": r"""
+          WITH RECURSIVE b AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') ws
+            FROM documents
+          ),
+          c AS (
+            SELECT doc_id, ws,
+                   greatest(CAST(ceil((len(ws) - 8) / 8.0) AS INT), 1) AS k
+            FROM b
+          ),
+          ch AS (
+            SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+                   CAST(len(ws[cid*8+1 : cid*8+16]) AS BIGINT) AS n_tokens
+            FROM (SELECT doc_id, ws, unnest(range(k)) AS cid FROM c)
+          ),
+          r AS (
+            SELECT doc_id, chunk_id, n_tokens,
+                   0 AS seq_id, CAST(0 AS BIGINT) AS seq_off,
+                   n_tokens AS used
+            FROM ch WHERE chunk_id = 0
+            UNION ALL
+            SELECT ch.doc_id, ch.chunk_id, ch.n_tokens,
+                   CASE WHEN r.used + ch.n_tokens > 40
+                        THEN r.seq_id + 1 ELSE r.seq_id END,
+                   CASE WHEN r.used + ch.n_tokens > 40
+                        THEN CAST(0 AS BIGINT) ELSE r.used END,
+                   CASE WHEN r.used + ch.n_tokens > 40
+                        THEN ch.n_tokens ELSE r.used + ch.n_tokens END
+            FROM r JOIN ch
+              ON ch.doc_id = r.doc_id AND ch.chunk_id = r.chunk_id + 1
+          )
+          SELECT doc_id, chunk_id, CAST(seq_id AS INT) AS seq_id,
+                 seq_off, n_tokens
+          FROM r
+        """,
         "corpus_sample": """
           SELECT doc_id, source FROM documents
           WHERE (doc_id * 2654435761) % 1000000 <
@@ -1632,6 +1737,124 @@ def oracle_sql() -> dict[str, str]:
                  min(d.n) AS n_frames
           FROM filled f JOIN dims d ON f.media_id = d.media_id
           GROUP BY f.media_id
+        """,
+        "multimodal_avi": """
+          WITH ids AS (SELECT doc_id AS media_id FROM documents),
+          dims AS (SELECT media_id,
+                          media_id % 3 + 2 AS nf,
+                          8 * (media_id % 3 + 1) AS w,
+                          8 * (media_id % 2 + 1) AS h
+                   FROM ids),
+          -- static max-extent grid (nf<=4, w<=24, h<=16, ch=3),
+          -- filtered to each video's true extent
+          px AS (SELECT d.media_id,
+                        ((x.range * x.range + 3 * y.range * y.range
+                          + 5 * t.range * t.range + 7 * c.range
+                          + d.media_id) % 256) % 8 AS bin
+                 FROM dims d, range(4) t, range(16) y, range(24) x,
+                      range(3) c
+                 WHERE t.range < d.nf AND y.range < d.h AND x.range < d.w),
+          cnt AS (SELECT media_id, bin, count(*) AS n FROM px GROUP BY 1, 2),
+          grid AS (SELECT media_id, b.range AS bin FROM ids, range(8) b),
+          filled AS (SELECT g.media_id, g.bin, coalesce(c.n, 0) AS n
+                     FROM grid g LEFT JOIN cnt c
+                     ON g.media_id = c.media_id AND g.bin = c.bin)
+          SELECT f.media_id,
+                 string_agg(CAST(f.n AS VARCHAR), ',' ORDER BY f.bin)
+                   AS pixel_hist,
+                 min(d.nf) AS n_frames
+          FROM filled f JOIN dims d ON f.media_id = d.media_id
+          GROUP BY f.media_id
+        """,
+        # the identical Gopher-repetition arithmetic over word arrays,
+        # line lists and n-gram multisets, replayed in DuckDB list ops
+        "text_repetition": r"""
+          WITH b AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\s+') AS ws,
+                   length(regexp_replace(text, '\s+', '', 'g')) AS nchars,
+                   list_filter(list_transform(string_split(text, chr(10)),
+                                              x -> trim(x)),
+                               x -> x <> '') AS lines
+            FROM documents
+          ),
+          l AS (
+            SELECT doc_id, ws, nchars,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CASE WHEN len(lines) > 0 THEN round(
+                     (len(lines) - len(list_distinct(lines)))
+                     / CAST(len(lines) AS DOUBLE), 4) ELSE 0.0 END
+                     AS dup_line_frac,
+                   CASE WHEN coalesce(list_sum(list_transform(lines,
+                          x -> length(x))), 0) > 0 THEN round(
+                     (list_sum(list_transform(lines, x -> length(x)))
+                      - list_sum(list_transform(list_distinct(lines),
+                                                x -> length(x))))
+                     / CAST(list_sum(list_transform(lines,
+                                                    x -> length(x)))
+                            AS DOUBLE), 4) ELSE 0.0 END
+                     AS dup_line_char_frac
+            FROM b
+          ),
+          g2 AS (
+            SELECT doc_id, gram, count(*) AS cnt,
+                   count(*) * (length(gram) - 1) AS charvol
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(ws)),
+                                i -> array_to_string(ws[i : i + 1], ' ')))
+                           AS gram
+                  FROM b WHERE len(ws) >= 2)
+            GROUP BY doc_id, gram
+          ),
+          g3 AS (
+            SELECT doc_id, gram, count(*) AS cnt,
+                   count(*) * (length(gram) - 2) AS charvol
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(ws) - 1),
+                                i -> array_to_string(ws[i : i + 2], ' ')))
+                           AS gram
+                  FROM b WHERE len(ws) >= 3)
+            GROUP BY doc_id, gram
+          ),
+          g5 AS (
+            SELECT doc_id, gram, count(*) AS cnt,
+                   count(*) * (length(gram) - 4) AS charvol
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(ws) - 3),
+                                i -> array_to_string(ws[i : i + 4], ' ')))
+                           AS gram
+                  FROM b WHERE len(ws) >= 5)
+            GROUP BY doc_id, gram
+          ),
+          t2 AS (SELECT doc_id, charvol FROM (
+                   SELECT doc_id, charvol, row_number() OVER (
+                     PARTITION BY doc_id ORDER BY cnt DESC, charvol DESC)
+                     AS rn FROM g2) WHERE rn = 1),
+          t3 AS (SELECT doc_id, charvol FROM (
+                   SELECT doc_id, charvol, row_number() OVER (
+                     PARTITION BY doc_id ORDER BY cnt DESC, charvol DESC)
+                     AS rn FROM g3) WHERE rn = 1),
+          d5 AS (SELECT doc_id,
+                        round(sum(CASE WHEN cnt > 1 THEN charvol ELSE 0 END)
+                              / CAST(sum(charvol) AS DOUBLE), 4) AS f
+                 FROM g5 GROUP BY doc_id),
+          j AS (
+            SELECT l.doc_id, l.n_lines, l.dup_line_frac,
+                   l.dup_line_char_frac,
+                   coalesce(round(t2.charvol / CAST(l.nchars AS DOUBLE), 4),
+                            0.0) AS top2_frac,
+                   coalesce(round(t3.charvol / CAST(l.nchars AS DOUBLE), 4),
+                            0.0) AS top3_frac,
+                   coalesce(d5.f, 0.0) AS dup5_frac
+            FROM l LEFT JOIN t2 ON l.doc_id = t2.doc_id
+                   LEFT JOIN t3 ON l.doc_id = t3.doc_id
+                   LEFT JOIN d5 ON l.doc_id = d5.doc_id
+          )
+          SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+                 top2_frac, top3_frac, dup5_frac,
+                 (dup_line_frac > 0.30 OR top2_frac > 0.20
+                  OR top3_frac > 0.18 OR dup5_frac > 0.15) AS flagged
+          FROM j
         """,
         # byte-identity invariant: the violation set must be EMPTY
         "extract_text_roundtrip": """

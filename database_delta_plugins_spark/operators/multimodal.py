@@ -2,14 +2,17 @@
 columns with typed metadata, processed via Arrow-batched mapInPandas.
 
 The Spark-side contract is real and tested — schema, batch iteration,
-partitioning, UDF signatures. IMAGE decode is REAL (r4): a pure-stdlib
-PNG codec (`png_decode` — zlib inflate + numpy scanline unfilter, all
-five PNG filter types, 8-bit gray/RGB/RGBA) runs executor-side under
-`decode_media(fake=False)`; no image library is needed. AUDIO decode
-is REAL too (r5): `wav_decode` parses RIFF/WAVE 16-bit PCM with the
-stdlib `wave` module + numpy frombuffer. Only VIDEO remains stubbed
-(`fake=False` raises NotImplementedError where libav would plug in —
-container/codec parsing genuinely has no stdlib path). `fake=True`
+partitioning, UDF signatures. All three media kinds now decode REAL
+byte streams executor-side under `decode_media(fake=False)`, each via
+a pure-stdlib codec for its uncompressed core format: IMAGE (r4) —
+`png_decode`, zlib inflate + numpy scanline unfilter, all five PNG
+filter types, 8-bit gray/RGB/RGBA; AUDIO (r5) — `wav_decode`,
+RIFF/WAVE 16-bit PCM via the stdlib `wave` module + numpy frombuffer;
+VIDEO (r5) — `avi_decode`, a hand-rolled RIFF/AVI container parse
+(hdrl/strl headers, BITMAPINFOHEADER, movi 00db frame chunks) of
+uncompressed bottom-up BGR DIB frames, numpy-vectorized per frame.
+Compressed codecs (JPEG/MP3/H.264) remain the documented seam where
+libav plugs in behind the same mapInPandas signature. `fake=True`
 keeps the deterministic fake decode for plumbing tests at any scale.
 
 At scale: media bytes never hit the driver; each Arrow batch is
@@ -213,6 +216,110 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
             w.getframerate())
 
 
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    """One RIFF chunk: tag + little-endian size + body + pad byte to
+    word alignment (the pad is not counted in the size)."""
+    return tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+
+def avi_encode(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Encode uint8 RGB frames (T,H,W,3) as a real uncompressed AVI
+    byte stream — stdlib struct only: RIFF('AVI ') with an hdrl LIST
+    (avih main header + strl: 'vids'/'DIB ' strh + BITMAPINFOHEADER
+    strf), a movi LIST of 00db frame chunks (bottom-up BGR DIB rows,
+    DWORD-padded stride), and an idx1 index. Any conformant player
+    (ffmpeg, VLC, Windows Media) reads the output."""
+    a = np.ascontiguousarray(frames, dtype=np.uint8)
+    if a.ndim != 4 or a.shape[3] != 3:
+        raise ValueError(f"expected (T,H,W,3) RGB frames, got {a.shape}")
+    t, h, w, _ = a.shape
+    if t < 1 or fps < 1:
+        raise ValueError("need >=1 frame and fps >= 1")
+    stride = (w * 3 + 3) & ~3
+    framesize = stride * h
+    # RGB -> BGR, rows bottom-up, pad each row to the DWORD stride
+    dib = np.zeros((t, h, stride), dtype=np.uint8)
+    dib[:, :, : w * 3] = a[:, ::-1, :, ::-1].reshape(t, h, w * 3)
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, framesize * fps, 0, 0x10,  # HASINDEX
+        t, 0, 1, framesize, w, h, 0, 0, 0, 0)
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIii4h", b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps, 0, t, framesize, -1, 0, 0, 0, w, h)
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, framesize, 0, 0, 0, 0)
+    strl = _riff_chunk(b"LIST", b"strl" + _riff_chunk(b"strh", strh)
+                       + _riff_chunk(b"strf", strf))
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih) + strl)
+    movi_body = bytearray(b"movi")
+    offsets = []
+    for i in range(t):
+        offsets.append(len(movi_body))  # offset of the 00db tag from 'movi'
+        movi_body += _riff_chunk(b"00db", dib[i].tobytes())
+    movi = _riff_chunk(b"LIST", bytes(movi_body))
+    idx = b"".join(struct.pack("<4sIII", b"00db", 0x10, off, framesize)
+                   for off in offsets)
+    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode an uncompressed AVI byte stream to ((T,H,W,3) uint8 RGB
+    frames, fps) — hand-rolled RIFF walk + numpy, no video library
+    (r5: closes the video third of the codec seam the same way r4's
+    png_decode and r5's wav_decode closed image and audio). Supports
+    the uncompressed core: BI_RGB 24-bit bottom-up DIB frames in
+    00db/00dc chunks; compressed streams (biCompression != 0) raise —
+    libav plugs in behind the same mapInPandas seam."""
+    buf = bytes(data)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI byte stream")
+    strh = strf = None
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal strh, strf
+        pos = lo
+        while pos + 8 <= hi:
+            tag = buf[pos:pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+            body_lo = pos + 8
+            if tag == b"LIST":
+                walk(body_lo + 4, body_lo + size)   # skip the list type
+            elif tag == b"strh" and strh is None:
+                strh = buf[body_lo:body_lo + size]
+            elif tag == b"strf" and strf is None:
+                strf = buf[body_lo:body_lo + size]
+            elif tag[2:4] in (b"db", b"dc") and size:
+                frames.append(buf[body_lo:body_lo + size])
+            pos = body_lo + size + (size % 2)       # pad to word boundary
+
+    walk(12, 8 + struct.unpack("<I", buf[4:8])[0])
+    if strh is None or strf is None or not frames:
+        raise ValueError("AVI missing strh/strf headers or frame chunks")
+    fcc, handler = struct.unpack_from("<4s4s", strh, 0)
+    scale, rate = struct.unpack_from("<II", strh, 20)
+    if fcc != b"vids":
+        raise ValueError(f"first stream is {fcc!r}, not video")
+    _, w, h, _planes, bits, comp = struct.unpack_from("<IiiHHI", strf, 0)
+    if comp != 0 or bits != 24:
+        raise ValueError(
+            f"unsupported AVI (compression={comp} bpp={bits}); this "
+            "decoder does uncompressed 24-bit BI_RGB DIB frames")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if any(len(f) != stride * h for f in frames):
+        raise ValueError("AVI frame chunk size != stride*height")
+    dib = np.frombuffer(b"".join(frames), dtype=np.uint8)
+    dib = dib.reshape(len(frames), h, stride)[:, :, : w * 3]
+    rgb = dib.reshape(len(frames), h, w, 3)[:, :, :, ::-1]
+    if not top_down:
+        rgb = rgb[:, ::-1]
+    fps = max(1, round(rate / max(scale, 1)))
+    return np.ascontiguousarray(rgb), fps
+
+
 MEDIA_META = T.StructType([
     T.StructField("kind", T.StringType(), False),       # image|audio|video
     T.StructField("mime", T.StringType(), True),
@@ -340,18 +447,60 @@ def synth_wav_media_df(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ids.select(id_col).mapInPandas(gen, schema=media_schema())
 
 
+def synth_avi_media_df(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL-AVI media table (r5 — the video analogue of
+    ``synth_png_media_df``): every payload is a genuine uncompressed
+    RIFF/AVI byte stream built executor-side, so ``decode_media(
+    fake=False)`` exercises a true container parse + DIB frame decode,
+    not plumbing.
+
+    Deterministic generative contract (the oracle recomputes the
+    expected pixel statistics from this closed form, proving the decode
+    inverts the encode): for media_id = the id column,
+      n_frames = id % 3 + 2,  width = 8 * (id % 3 + 1),
+      height = 8 * (id % 2 + 1),  RGB always, fps = 10
+      pixel[t, y, x, c] = (x*x + 3*y*y + 5*t*t + 7*c + id) % 256
+    (non-linear in every axis: a decode that drops/permutes frames,
+    mis-strides rows, or keeps BGR order shifts the histogram)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                nf = mid % 3 + 2
+                w, h = 8 * (mid % 3 + 1), 8 * (mid % 2 + 1)
+                t, y, x, c = np.ogrid[0:nf, 0:h, 0:w, 0:3]
+                px = ((x * x + 3 * y * y + 5 * t * t + 7 * c + mid)
+                      % 256).astype(np.uint8)
+                payload = avi_encode(px, fps=10)
+                out.append((mid, payload,
+                            {"kind": "video", "mime": "video/avi",
+                             "width": w, "height": h,
+                             "duration_ms": nf * 100,
+                             "n_bytes": len(payload)}))
+            yield pd.DataFrame({
+                "media_id": [r[0] for r in out],
+                "payload": [r[1] for r in out],
+                "meta": [r[2] for r in out],
+            })
+
+    return ids.select(id_col).mapInPandas(gen, schema=media_schema())
+
+
 def decode_media(df: DataFrame, fake: bool = True,
                  feature_dim: int = 8, batch_hint: int | None = None) -> DataFrame:
     """Decode / feature-extract via mapInPandas (Arrow batches).
 
     fake=True: deterministic feature vector from the payload bytes
     (plumbing test). fake=False: REAL decode — `image/png` payloads go
-    through the stdlib `png_decode` (r4) and `audio/wav` through the
-    stdlib `wav_decode` (r5); the feature is the decoded-VALUE
-    histogram (pixels / int16 samples) folded to ``feature_dim``
-    (normalized by value count). Video still raises NotImplementedError
-    — container/codec parsing genuinely has no stdlib path; libav plugs
-    in behind this same seam."""
+    through the stdlib `png_decode` (r4), `audio/wav` through the
+    stdlib `wav_decode` (r5), and `video/avi` through the hand-rolled
+    `avi_decode` container parse (r5); the feature is the decoded-VALUE
+    histogram (pixels / int16 samples / frame pixels) folded to
+    ``feature_dim`` (normalized by value count). Compressed codecs
+    (JPEG/MP3/H.264) raise NotImplementedError — libav plugs in behind
+    this same seam."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -378,12 +527,17 @@ def decode_media(df: DataFrame, fake: bool = True,
                         # int16 → int64 before the mod so the histogram
                         # bin is the non-negative python-style remainder
                         arr = samples.astype(np.int64).ravel()
+                    elif mime in ("video/avi", "video/x-msvideo"):
+                        vid, _fps = avi_decode(payload)
+                        n_frames = vid.shape[0]
+                        arr = vid.ravel()
                     else:
                         raise NotImplementedError(
                             f"real decode of {kind}/{mime} requires codec "
                             "libs not present in this environment; PNG "
-                            "images (png_decode) and PCM WAV (wav_decode) "
-                            "decode natively, others need fake=True")
+                            "images (png_decode), PCM WAV (wav_decode) and "
+                            "uncompressed AVI (avi_decode) decode "
+                            "natively, others need fake=True")
                 # deterministic feature: value histogram folded to feature_dim
                 hist = np.bincount(arr % feature_dim, minlength=feature_dim)
                 feats.append((hist / max(len(arr), 1)).astype(np.float32).tolist())

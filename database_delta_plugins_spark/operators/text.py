@@ -305,3 +305,163 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
     return out.withColumn(
         "n_tokens",
         F.size(F.split(F.col("chunk_text"), r"\s+")).cast("long"))
+
+
+def pack_sequences(chunks: DataFrame, capacity: int,
+                   id_col: str = "doc_id", chunk_col: str = "chunk_id",
+                   tokens_col: str = "n_tokens") -> DataFrame:
+    """Document-isolated greedy sequence packing (r5) — the pretraining
+    step AFTER chunking: chunks are laid into fixed-``capacity`` token
+    sequences in chunk order, starting a new sequence whenever the next
+    chunk would overflow the current one. Document-isolated (sequences
+    never mix documents — the no-cross-document-attention packing
+    policy), so the recurrence is per-document and bounded by document
+    length, never corpus-sized.
+
+    Pure Catalyst: one narrow (chunk_id, n_tokens) shuffle to regroup a
+    document's chunks, then the greedy fold runs JVM-side as an
+    ``F.aggregate`` over the sorted chunk array — no Python, no window
+    recursion. An over-capacity chunk (n_tokens > capacity) occupies a
+    sequence alone rather than erroring: the greedy rule only opens a
+    new sequence when the CURRENT one is non-empty.
+
+    Output: (id_col, chunk_id, seq_id, seq_off, n_tokens) — seq_id
+    numbers sequences within the document, seq_off is the chunk's token
+    offset inside its sequence; a downstream writer materializes packed
+    sequences by grouping on (id_col, seq_id) and concatenating at
+    seq_off. Composes with ``chunk_documents`` (which it assumes:
+    chunk_id dense from 0 in document order); when packing straight off
+    raw documents, fuse by calling it on ``chunk_documents(df)`` — the
+    regroup shuffle then carries only ints.
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    lst = chunks.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col(chunk_col).cast("int").alias("chunk_id"),
+            F.col(tokens_col).cast("long").alias("n_tokens"),
+        ))).alias("cs"))
+    asg_t = ("array<struct<chunk_id:int,seq_id:int,"
+             "seq_off:bigint,n_tokens:bigint>>")
+    acc0 = F.expr(
+        "named_struct('seq', 0, 'used', CAST(0 AS BIGINT), "
+        f"'asg', CAST(array() AS {asg_t}))")
+
+    def step(acc, c):
+        newseq = (acc["used"] > 0) & \
+            (acc["used"] + c["n_tokens"] > F.lit(capacity))
+        seq2 = acc["seq"] + newseq.cast("int")
+        off = F.when(newseq, F.lit(0).cast("long")).otherwise(acc["used"])
+        a = F.struct(c["chunk_id"].alias("chunk_id"),
+                     seq2.alias("seq_id"), off.alias("seq_off"),
+                     c["n_tokens"].alias("n_tokens"))
+        return F.struct(
+            seq2.alias("seq"),
+            (off + c["n_tokens"]).alias("used"),
+            F.concat(acc["asg"], F.array(a)).alias("asg"))
+
+    folded = lst.select(F.col(id_col),
+                        F.aggregate("cs", acc0, step).alias("acc"))
+    return folded.select(
+        id_col, F.explode(F.col("acc.asg")).alias("a")
+    ).select(
+        id_col,
+        F.col("a.chunk_id").alias("chunk_id"),
+        F.col("a.seq_id").alias("seq_id"),
+        F.col("a.seq_off").alias("seq_off"),
+        F.col("a.n_tokens").alias("n_tokens"),
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     top_ns: tuple[int, ...] = (2, 3),
+                     dup_ns: tuple[int, ...] = (5,)) -> DataFrame:
+    """Gopher-style repetition quality signals (r5) — the
+    repetition-removal filter family from Rae et al. 2021 §A1.1 that a
+    pretraining pipeline runs between language-ID and dedup:
+
+    - ``dup_line_frac`` / ``dup_line_char_frac``: fraction of trimmed
+      non-empty lines (and of their characters) that are repeats of an
+      earlier line — boilerplate/menu detection. Computed array-local
+      (no shuffle): size vs array_distinct.
+    - ``top{n}_frac`` for n in ``top_ns``: characters covered by ALL
+      occurrences of the single most frequent word n-gram, over total
+      non-space characters. Ties broken toward the larger char volume
+      (the conservative, filter-more direction).
+    - ``dup{n}_frac`` for n in ``dup_ns``: char-volume fraction of word
+      n-gram occurrences that belong to n-grams seen more than once.
+
+    ``flagged`` applies the documented Gopher-ish thresholds
+    (dup_line > 0.30, top2 > 0.20, top3 > 0.18, dup5 > 0.15).
+
+    Scale shape: one explode + (id, gram) hash-aggregate + (id) rollup
+    per n — every shuffle is keyed by (or prefixed with) the document
+    id, so the job is embarrassingly doc-parallel with map-side partial
+    aggregation; nothing is corpus-global. Fractions round to 4
+    decimals (cross-engine FP discipline)."""
+    txt = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(txt, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "")
+    dist = F.array_distinct(lines)
+    chars_of = (lambda arr: F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)))
+    n_lines = F.size(lines)
+    line_chars = chars_of(lines)
+    base = df.select(
+        F.col(id_col),
+        F.split(F.trim(txt), r"\s+").alias("ws"),
+        F.length(F.regexp_replace(txt, r"\s+", "")).cast("long")
+        .alias("nchars"),
+        n_lines.cast("long").alias("n_lines"),
+        F.when(n_lines > 0,
+               F.round((n_lines - F.size(dist)) / n_lines, 4))
+        .otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        F.when(line_chars > 0,
+               F.round((line_chars - chars_of(dist)) / line_chars, 4))
+        .otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
+    ).localCheckpoint(eager=False)
+
+    out = base.select(id_col, "nchars", "n_lines", "dup_line_frac",
+                      "dup_line_char_frac")
+    for kind, ns in (("top", top_ns), ("dup", dup_ns)):
+        for n in ns:
+            grams = F.when(
+                F.size("ws") >= n,
+                F.expr(f"transform(sequence(1, size(ws) - {n} + 1), "
+                       f"i -> concat_ws(' ', slice(ws, i, {n})))"),
+            ).otherwise(F.array().cast("array<string>"))
+            g = (base.select(id_col, "nchars",
+                             F.explode(grams).alias("gram"))
+                 .groupBy(id_col, "nchars", "gram")
+                 .agg(F.count("*").alias("cnt"))
+                 .withColumn("charvol",
+                             F.col("cnt")
+                             * (F.length("gram") - (n - 1)).cast("long")))
+            if kind == "top":
+                col = (base.select(id_col).join(
+                    g.groupBy(id_col).agg(
+                        (F.max(F.struct("cnt", "charvol"))["charvol"]
+                         / F.first("nchars")).alias("_f")),
+                    id_col, "left")
+                    .select(id_col, F.round(F.coalesce("_f", F.lit(0.0)), 4)
+                            .alias(f"top{n}_frac")))
+            else:
+                col = (base.select(id_col).join(
+                    g.groupBy(id_col).agg(
+                        (F.sum(F.when(F.col("cnt") > 1, F.col("charvol"))
+                               .otherwise(F.lit(0)))
+                         / F.sum("charvol")).alias("_f")),
+                    id_col, "left")
+                    .select(id_col, F.round(F.coalesce("_f", F.lit(0.0)), 4)
+                            .alias(f"dup{n}_frac")))
+            out = out.join(col, id_col)
+    flag = (F.col("dup_line_frac") > 0.30)
+    if 2 in top_ns:
+        flag = flag | (F.col("top2_frac") > 0.20)
+    if 3 in top_ns:
+        flag = flag | (F.col("top3_frac") > 0.18)
+    if 5 in dup_ns:
+        flag = flag | (F.col("dup5_frac") > 0.15)
+    return out.drop("nchars").withColumn("flagged", flag)

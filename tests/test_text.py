@@ -153,3 +153,64 @@ def test_chunk_documents_stride_and_tail(spark):
     assert rows[(2, 0)] == ("a b c", 3)                 # short doc = 1 chunk
     # consecutive chunks overlap by exactly `overlap` tokens
     assert rows[(1, 0)][0].split()[-8:] == rows[(1, 1)][0].split()[:8]
+
+
+def test_pack_sequences_greedy_boundaries(spark):
+    """r5: document-isolated greedy packing — exact fill, overflow
+    rollover, over-capacity chunk isolated in its own sequence, and
+    documents never share a sequence."""
+    from database_delta_plugins_spark.operators.text import pack_sequences
+
+    rows = [
+        # doc 1: 10+10 fills cap 20 exactly; 5 starts seq 1
+        (1, 0, 10), (1, 1, 10), (1, 2, 5),
+        # doc 2: over-capacity chunk (25 > 20) sits alone at seq 0;
+        # next chunk opens seq 1
+        (2, 0, 25), (2, 1, 3),
+        # doc 3: single short chunk
+        (3, 0, 7),
+    ]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_id int, n_tokens long")
+    got = {(r["doc_id"], r["chunk_id"]): (r["seq_id"], r["seq_off"])
+           for r in pack_sequences(chunks, capacity=20).collect()}
+    assert got == {
+        (1, 0): (0, 0), (1, 1): (0, 10), (1, 2): (1, 0),
+        (2, 0): (0, 0), (2, 1): (1, 0),
+        (3, 0): (0, 0),
+    }
+    # invariant: non-final sequences of a doc never exceed capacity
+    # unless they contain exactly one (over-capacity) chunk
+    from pyspark.sql import functions as F
+    seqs = (pack_sequences(chunks, capacity=20)
+            .groupBy("doc_id", "seq_id")
+            .agg(F.sum("n_tokens").alias("tok"), F.count("*").alias("k")))
+    bad = seqs.filter((F.col("tok") > 20) & (F.col("k") > 1)).count()
+    assert bad == 0
+
+
+def test_repetition_stats_gopher_signals(spark):
+    """r5: Gopher repetition arithmetic — top-n-gram char coverage
+    (max count, ties to larger char volume), duplicated-5-gram char
+    fraction, duplicate-line fractions, and the empty-doc guard."""
+    from database_delta_plugins_spark.operators.text import repetition_stats
+
+    rows = [
+        (1, "a b a b a b"),                        # top2 'a b' covers all
+        (2, "one two three four five six seven"),  # no repeats: tie-break
+        (3, "menu item\nmenu item\nunique line"),  # duplicate line
+        (4, "  "),                                 # degenerate
+        (5, "x y z w v x y z w v x y z w v"),      # every 5-gram repeats
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    assert got[1]["top2_frac"] == 1.0 and got[1]["dup5_frac"] == 0.0
+    # all bigrams unique -> tie-break picks the longest ('three four'=9
+    # chars of 27 non-space chars)
+    assert got[2]["top2_frac"] == 0.3333
+    assert got[3]["n_lines"] == 3 and got[3]["dup_line_frac"] == 0.3333
+    assert got[3]["dup_line_char_frac"] == 0.3103  # 9 of 29 line chars
+    assert got[4] == {"doc_id": 4, "n_lines": 0, "dup_line_frac": 0.0,
+                      "dup_line_char_frac": 0.0, "top2_frac": 0.0,
+                      "top3_frac": 0.0, "dup5_frac": 0.0, "flagged": False}
+    assert got[5]["dup5_frac"] == 1.0 and got[5]["flagged"]
