@@ -973,6 +973,85 @@ def _ann_index_upsert_body(spark, dbl, dim, schema, work, LakeTable,
     return spark.createDataFrame(rows, out_schema)
 
 
+def q_minhash_index_upsert_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5: CDC-driven incremental maintenance of the persisted banded-
+    minhash DEDUP index — the dedup analogue of ann_index_upsert_check,
+    composing the CDC half (LakeTable change feed) with the dedup half
+    (banded minhash): build the index over epoch-1 documents, merge an
+    epoch of text mutations / inserts / deletes, refresh the index from
+    changes() (stage-and-swap, O(changed buckets)), and emit every
+    (doc_id, issue) where the refreshed index differs from a full
+    rebuild over the post-window table. Violation set — EMPTY is the
+    correct answer. Non-SQL-expressible end to end (stateful lake +
+    filesystem index), hence the trivially-empty oracle; the refresh ≡
+    rebuild equality IS the checked property."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from database_delta_plugins_spark.lake.table import LakeTable
+    from database_delta_plugins_spark.operators.dedup import (
+        _minhash_index_rows,
+        minhash_index_build,
+        minhash_index_upsert,
+    )
+    from database_delta_plugins_spark.operators.similarity import index_read
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True)])
+    work = tempfile.mkdtemp(prefix="mhidx_q_")
+    shutil.rmtree(work)
+    try:
+        t = LakeTable.create(spark, f"{work}/t", schema, key="doc_id",
+                             num_buckets=4, write_mode="mor")
+
+        def ops(df, op, lsn0):
+            return df.select(
+                "doc_id", "text", F.lit(op).alias("op_type"),
+                (F.lit(lsn0) + F.col("doc_id")).alias("lsn"),
+                F.lit(0).alias("seq"), F.lit(0).alias("ts_ms"))
+
+        half = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).head()[0]
+        first = docs.filter(F.col("doc_id") <= half)
+        t.merge(ops(first, "I", 1_000), epoch_id=1)
+        t = t.refresh()
+        v1 = t.version
+        idx = f"{work}/mh"
+        minhash_index_build(t.read().select("doc_id", "text"), idx, bands=8)
+
+        # window: mutate a third (band rows move buckets), insert the
+        # other half, delete a sixth
+        upd = first.filter(F.col("doc_id") % 3 == 0).select(
+            "doc_id",
+            F.concat("text", F.lit(" zz mutated tail")).alias("text"))
+        ins = docs.filter(F.col("doc_id") > half)
+        dels = first.filter(F.col("doc_id") % 6 == 1).select(
+            "doc_id", F.lit(None).cast("string").alias("text"))
+        t.merge(ops(upd, "U", 10_000).unionByName(ops(ins, "I", 20_000))
+                .unionByName(ops(dels, "D", 30_000)), epoch_id=2)
+        t = t.refresh()
+        minhash_index_upsert(spark, idx, t.changes(v1), bands=8)
+
+        final = t.read().select("doc_id", "text")
+        want = _minhash_index_rows(final, "doc_id", "text", 3, 8, 64)
+        got = index_read(spark, idx).select(
+            "doc_id", "band", "band_hash", "_bk")
+        bad = (got.exceptAll(want)
+               .select("doc_id", F.lit("refresh_extra").alias("issue"))
+               .unionByName(
+                   want.exceptAll(got)
+                   .select("doc_id", F.lit("refresh_missing").alias("issue")))
+               .dropDuplicates(["doc_id", "issue"]))
+        # eager: the result must not depend on `work` after the finally
+        rows = bad.collect()
+        return spark.createDataFrame(rows, "doc_id long, issue string")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_extract_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-identity invariant: extract_text(synth_html(text)) == text.
     Returns violations — must be empty (rows-only check + pytest)."""
@@ -1039,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "extract_text_roundtrip": q_extract_text_roundtrip,
         "ann_index_upsert_check": q_ann_index_upsert_check,
+        "minhash_index_upsert_check": q_minhash_index_upsert_check,
     }
 
 
@@ -1864,6 +1944,11 @@ def oracle_sql() -> dict[str, str]:
         # incremental-index ≡ rebuild invariant: violation set EMPTY
         "ann_index_upsert_check": """
           SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS VARCHAR) AS issue
+          WHERE 1 = 0
+        """,
+        # incremental minhash-dedup-index ≡ rebuild: violation set EMPTY
+        "minhash_index_upsert_check": """
+          SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS issue
           WHERE 1 = 0
         """,
     }

@@ -239,6 +239,26 @@ def _shingle_base(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     )
 
 
+def _band_rows(sigs: DataFrame, bands: int) -> DataFrame:
+    """(id, band, band_hash) rows from a 64-minhash signature relation —
+    the shared banding step of the batch pair-finder and the persisted
+    dedup index (r5). One xxhash64 per band over that band's
+    ``rows_per_band`` signature slots."""
+    rows_per_band = _N_MINHASH // bands
+    return sigs.select(
+        "id",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.concat_ws(",", *[
+                    F.col("minhash")[b * rows_per_band + r].cast("string")
+                    for r in range(rows_per_band)
+                ]))
+                for b in range(bands)
+            ])
+        ).alias("band", "band_hash"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -264,22 +284,10 @@ def minhash_lsh_pairs(
         # (capped) near-zero candidates with no error; fail loudly like
         # simhash's n_chunks guard
         raise ValueError(f"bands must divide {_N_MINHASH}, got {bands}")
-    rows_per_band = _N_MINHASH // bands
     base = _shingle_base(df, id_col, text_col, n)
     sigs = (minhash_signature_arrow if impl == "arrow"
             else minhash_signature)(base)
-    bandrows = sigs.select(
-        "id",
-        F.posexplode(
-            F.array(*[
-                F.xxhash64(F.concat_ws(",", *[
-                    F.col("minhash")[b * rows_per_band + r].cast("string")
-                    for r in range(rows_per_band)
-                ]))
-                for b in range(bands)
-            ])
-        ).alias("band", "band_hash"),
-    )
+    bandrows = _band_rows(sigs, bands)
     # the band self-join consumes bandrows TWICE (a and b sides); without
     # a checkpoint the whole shingle->signature kernel chain runs twice
     # (r3 VERDICT: minhash_lsh +22%). Materialized rows are narrow
@@ -759,3 +767,133 @@ def sample_by_source(df: DataFrame, rates: dict[str, float],
         expr = F.when(F.col(source_col) == src,
                       F.lit(int(rate * 1_000_000))).otherwise(expr)
     return df.filter(h < expr)
+
+
+# ---------------------------------------------------------------------------
+# Persisted minhash dedup index + CDC-driven incremental maintenance (r5).
+# The dedup analogue of similarity.py's ANN index upserts: a CDC-maintained
+# documents table should not re-minhash the whole corpus to dedup an
+# incoming batch — it keeps a banded signature index on disk, refreshes it
+# partition-locally from LakeTable.changes(), and probes only the buckets
+# an incoming batch touches. Reuses the versioned stage-and-swap store
+# (index_write/index_read/_index_upsert) so readers never see a torn index.
+# ---------------------------------------------------------------------------
+
+#: Bucket count for the persisted band-row index layout: band_hash mod
+#: _MINHASH_INDEX_BUCKETS is the partition column, so an incremental
+#: upsert rewrites only touched buckets and a probe statically prunes to
+#: the buckets its band hashes land in.
+_MINHASH_INDEX_BUCKETS = 64
+
+
+def _minhash_index_rows(docs: DataFrame, id_col: str, text_col: str,
+                        n: int, bands: int, n_buckets: int) -> DataFrame:
+    if bands < 1 or _N_MINHASH % bands:
+        raise ValueError(f"bands must divide {_N_MINHASH}, got {bands}")
+    rows = _band_rows(
+        minhash_signature_arrow(_shingle_base(docs, id_col, text_col, n)),
+        bands)
+    return rows.select(
+        F.col("id").alias(id_col), "band", "band_hash",
+        F.pmod(F.col("band_hash"), F.lit(n_buckets)).cast("int")
+        .alias("_bk"))
+
+
+def minhash_index_build(docs: DataFrame, index_path: str,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3, bands: int = 16,
+                        n_buckets: int = _MINHASH_INDEX_BUCKETS) -> str:
+    """Build the persisted banded-minhash dedup index: one (id, band,
+    band_hash) row per document per band, partitioned by ``_bk =
+    band_hash mod n_buckets`` under the versioned stage-and-swap layout
+    (``similarity.index_write``). The index is deliberately UNCAPPED —
+    caps are a probe-time recall trade (``minhash_index_candidates``),
+    never storage: a capped store could not honor deletes exactly
+    (dropping an over-cap posting loses the row a delete should
+    promote), and refresh ≡ rebuild is gate-checked."""
+    from .similarity import index_write
+
+    return index_write(
+        _minhash_index_rows(docs, id_col, text_col, n, bands, n_buckets),
+        index_path, "_bk")
+
+
+def minhash_index_upsert(spark, index_path: str, changes: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         n: int = 3, bands: int = 16,
+                         n_buckets: int = _MINHASH_INDEX_BUCKETS) -> dict:
+    """Incrementally refresh the persisted minhash index from a
+    ``LakeTable.changes()`` window: re-shingle and re-sign ONLY the
+    changed documents, rewrite only the ``_bk`` buckets their old or
+    new band rows live in (stage-and-swap; untouched buckets are
+    hardlinked), drop deleted documents' rows everywhere they appear.
+    O(changed docs × bands), not O(corpus). The hash family is a pure
+    function of the (n, bands) config, so new rows land in the existing
+    layout with no retraining; the refreshed index is row-identical to
+    a full rebuild over the post-window table (gate-checked). Returns
+    the upsert stats + bucket-imbalance drift audit dict."""
+    from .similarity import _index_upsert
+
+    def assign(rows: DataFrame) -> DataFrame:
+        return _minhash_index_rows(rows, id_col, text_col, n, bands,
+                                   n_buckets)
+
+    return _index_upsert(spark, index_path, changes, assign, "_bk",
+                         id_col, text_col,
+                         source_cols=[id_col, text_col])
+
+
+def minhash_index_candidates(spark, index_path: str, new_docs: DataFrame,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             corpus_docs: DataFrame | None = None,
+                             threshold: float | None = None,
+                             n: int = 3, bands: int = 16,
+                             n_buckets: int = _MINHASH_INDEX_BUCKETS,
+                             max_bucket: int = 50) -> DataFrame:
+    """Probe the persisted index with an INCOMING batch — the dedup
+    gate a CDC ingest runs per epoch: which new/updated documents
+    near-duplicate something already in the corpus?
+
+    Scale shape: the batch's band rows are computed once (tiny: docs ×
+    bands longs) and drive two prunes of the index scan — a STATIC
+    partition prune to the ``_bk`` buckets the batch hashes into (the
+    bucket list is collected driver-side: ≤ n_buckets ints), then a
+    broadcast semi-join on (band, band_hash) so only colliding postings
+    survive the scan. The per-bucket cap is applied AFTER those prunes
+    (window over the surviving postings only — never a corpus-wide
+    shuffle) and bounds boilerplate-band blowup exactly like
+    ``minhash_lsh_pairs``. Candidates are exact-Jaccard-verified when
+    ``corpus_docs`` + ``threshold`` are given; otherwise the raw
+    candidate pair set (id_a < id_b) is returned."""
+    from .similarity import index_read
+
+    idx = index_read(spark, index_path)
+    q = _minhash_index_rows(new_docs, id_col, text_col, n, bands,
+                            n_buckets).localCheckpoint(eager=False)
+    bks = [r[0] for r in q.select("_bk").distinct().collect()]
+    if not bks:
+        return spark.createDataFrame([], "id_a long, id_b long")
+    pruned = (
+        idx.filter(F.col("_bk").isin(bks))
+        .join(F.broadcast(q.select("band", "band_hash").distinct()),
+              ["band", "band_hash"], "semi")
+        .select(F.col(id_col).alias("id"), "band", "band_hash")
+    )
+    pruned = _cap_postings(pruned, ["band", "band_hash"], max_bucket)
+    cand = (
+        pruned.join(F.broadcast(q.select(
+            "band", "band_hash", F.col(id_col).alias("_qid"))),
+            ["band", "band_hash"])
+        .filter(F.col("id") != F.col("_qid"))
+        .select(F.least("id", "_qid").alias("id_a"),
+                F.greatest("id", "_qid").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if corpus_docs is None or threshold is None:
+        return cand
+    alldocs = (corpus_docs.select(id_col, text_col)
+               .unionByName(new_docs.select(id_col, text_col))
+               .dropDuplicates([id_col]))
+    return _verify_exact_jaccard(cand, alldocs, id_col, text_col, n,
+                                 threshold)

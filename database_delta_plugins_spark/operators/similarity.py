@@ -590,7 +590,8 @@ def _link_tree(src: str, dst: str) -> None:
 
 def _index_upsert(spark, index_path: str, changes: DataFrame,
                   assign, part_col: str, id_col: str,
-                  vec_col: str) -> dict:
+                  vec_col: str,
+                  source_cols: list[str] | None = None) -> dict:
     """Partition-local upsert of a persisted ANN index (parquet laid out
     ``partitionBy(part_col)``) from a CDF window — STAGE-AND-SWAP (r5):
     the rewrite lands in a NEW version directory and becomes visible
@@ -629,9 +630,17 @@ def _index_upsert(spark, index_path: str, changes: DataFrame,
     cur_root = _index_root(index_path)
     idx = spark.read.parquet(cur_root)
     data_cols = [c for c in idx.columns if c != part_col]
-    missing = [c for c in data_cols if c not in changes.columns]
+    # ``source_cols``: what the changes feed must carry and ``assign``
+    # consumes. Defaults to the index's own data columns (the ANN case,
+    # where vectors are stored verbatim); a DERIVED index (r5 minhash
+    # band rows: many index rows per source row, none of them source
+    # columns) names its true inputs instead.
+    req = source_cols if source_cols is not None else data_cols
+    if id_col not in req:
+        raise ValueError(f"source_cols must include {id_col!r}")
+    missing = [c for c in req if c not in changes.columns]
     if missing:
-        raise ValueError(f"changes feed lacks index columns {missing}")
+        raise ValueError(f"changes feed lacks index source columns {missing}")
     # drift audit (r5): per-partition posting counts are maintained
     # incrementally — carried forward for untouched partitions, refreshed
     # only for affected ones. A legacy/pre-stats index pays one full
@@ -643,11 +652,11 @@ def _index_upsert(spark, index_path: str, changes: DataFrame,
             for r in idx.groupBy(part_col).count().collect()
         }
     latest = _latest_changes(
-        changes, id_col, [c for c in data_cols if c != id_col]
+        changes, id_col, [c for c in req if c != id_col]
     ).localCheckpoint(eager=False)
     ids = latest.select(id_col)
     ups = assign(
-        latest.filter(F.col("_change_type") != "delete").select(*data_cols))
+        latest.filter(F.col("_change_type") != "delete").select(*req))
     old_parts = (idx.select(id_col, part_col)
                  .join(F.broadcast(ids), id_col, "semi")
                  .select(part_col).distinct())

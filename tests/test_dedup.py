@@ -284,3 +284,87 @@ def test_shingles_arrow_matches_catalyst(spark, sf_dir):
         c = shingles(docs.select("doc_id", "text"), "text", n=n,
                      impl="catalyst").select("doc_id", F.col("shingles").alias("sc"))
         assert a.join(c, "doc_id").filter(F.col("sa") != F.col("sc")).count() == 0
+
+
+def test_minhash_index_upsert_equals_rebuild(spark, tmp_path):
+    """r5: CDC-driven incremental maintenance of the persisted banded-
+    minhash dedup index — refresh from a LakeTable.changes() window is
+    row-identical to a full rebuild over the post-window table, across
+    text mutations (band rows move buckets), inserts and deletes;
+    re-running the same window is idempotent; and probing the index
+    with an incoming batch finds a planted duplicate but not a novel
+    document."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from database_delta_plugins_spark.lake.table import LakeTable
+    from database_delta_plugins_spark.operators.dedup import (
+        _minhash_index_rows,
+        minhash_index_build,
+        minhash_index_candidates,
+        minhash_index_upsert,
+    )
+    from database_delta_plugins_spark.operators.similarity import index_read
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").filter(F.col("doc_id") < 120))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True)])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema, key="doc_id",
+                         num_buckets=2, write_mode="mor")
+
+    def ops(df, op, lsn0):
+        return df.select(
+            "doc_id", "text", F.lit(op).alias("op_type"),
+            (F.lit(lsn0) + F.col("doc_id")).alias("lsn"),
+            F.lit(0).alias("seq"), F.lit(0).alias("ts_ms"))
+
+    first = docs.filter(F.col("doc_id") < 60)
+    t.merge(ops(first, "I", 1_000), epoch_id=1)
+    t = t.refresh()
+    v1 = t.version
+    idx = str(tmp_path / "mh")
+    minhash_index_build(t.read().select("doc_id", "text"), idx, bands=8)
+
+    upd = first.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.concat("text", F.lit(" mutated tail")).alias("text"))
+    ins = docs.filter(F.col("doc_id") >= 60)
+    dels = first.filter(F.col("doc_id") % 6 == 1).select(
+        "doc_id", F.lit(None).cast("string").alias("text"))
+    t.merge(ops(upd, "U", 10_000).unionByName(ops(ins, "I", 20_000))
+            .unionByName(ops(dels, "D", 30_000)), epoch_id=2)
+    t = t.refresh()
+
+    stats = minhash_index_upsert(spark, idx, t.changes(v1), bands=8)
+    assert stats["deletes"] == first.filter(F.col("doc_id") % 6 == 1).count()
+    assert stats["version"] == 2
+
+    final = t.read().select("doc_id", "text")
+    want = _minhash_index_rows(final, "doc_id", "text", 3, 8, 64)
+    got = index_read(spark, idx).select("doc_id", "band", "band_hash", "_bk")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # idempotent: same window again -> same rows, bumped version
+    minhash_index_upsert(spark, idx, t.changes(v1), bands=8)
+    got2 = index_read(spark, idx).select("doc_id", "band", "band_hash", "_bk")
+    assert got2.exceptAll(want).count() == 0
+    assert want.exceptAll(got2).count() == 0
+
+    # probe: planted exact dup is found + verified; novel doc is not
+    src = final.orderBy("doc_id").limit(1)
+    src_id = src.head()["doc_id"]
+    batch = src.select((F.col("doc_id") + 10_000).alias("doc_id"), "text") \
+        .unionByName(spark.createDataFrame(
+            [(20_000, "totally novel words qqq www eee rrr ttt yyy uuu")],
+            "doc_id long, text string"))
+    ver = minhash_index_candidates(spark, idx, batch, corpus_docs=final,
+                                   threshold=0.8, bands=8).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in ver}
+    # the planted copy is found (the corpus has its own exact dups of
+    # src_id's text, so other >=0.8 pairs with the copy are legitimate)
+    assert (src_id, src_id + 10_000) in pairs
+    # every verified pair involves the planted copy; the novel doc
+    # (20000) near-duplicates nothing
+    assert all(b == src_id + 10_000 for _, b in pairs)
