@@ -237,6 +237,67 @@ def main():
     # sanity: the regex actually saw partitioning specs
     assert det11, "explain format changed: no hashpartitioning specs parsed"
 
+    # 12. sequence packing (r5): the greedy fold is one JVM-side
+    # F.aggregate over a per-doc regroup — exactly ONE exchange, and no
+    # Python evaluator anywhere in the plan.
+    from database_delta_plugins_spark.operators.text import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    q12 = pack_sequences(chunk_documents(docs.select("doc_id", "text"),
+                                         chunk_tokens=16, overlap=8),
+                         capacity=40)
+    p12 = plan_of(q12)
+    sections.append(("sequence packing: one regroup exchange, no Python",
+                     q12, p12))
+    # formatted explain names each node once in the detail section as
+    # "(N) Exchange" — count those, not raw substring hits (every node
+    # also appears in the tree rendering)
+    checks.append(("pack_sequences: exactly one Exchange, zero Python stages",
+                   len(re.findall(r"\(\d+\) Exchange", p12)) == 1
+                   and "EvalPython" not in p12))
+
+    # 13. repetition stats (r5): every exchange is keyed by doc_id first
+    # (doc-parallel at any corpus size) and aggregation is partial
+    # (map-side combine) — nothing corpus-global.
+    from database_delta_plugins_spark.operators.text import repetition_stats
+
+    q13 = repetition_stats(docs.select("doc_id", "text"))
+    p13 = plan_of(q13)
+    det13 = re.findall(r"hashpartitioning\(([A-Za-z0-9_]+#)", p13)
+    sections.append(("repetition stats: doc-keyed exchanges", q13, p13))
+    checks.append(("repetition_stats: all exchanges keyed by doc_id, partial agg",
+                   bool(det13)
+                   and all(k.startswith("doc_id#") for k in det13)
+                   and "partial_count" in p13))
+
+    # 14. minhash index probe (r5): the persisted-index scan must carry a
+    # STATIC PartitionFilters prune on _bk (the probe batch's bucket
+    # list), and the (band, band_hash) narrowing must be broadcast —
+    # the probe reads touched buckets, never the corpus index.
+    import tempfile as _tf
+
+    from database_delta_plugins_spark.operators.dedup import (
+        minhash_index_build,
+        minhash_index_candidates,
+    )
+
+    mhdir = _tf.mkdtemp(prefix="audit_mhidx_")
+    _sh.rmtree(mhdir)
+    minhash_index_build(docs.select("doc_id", "text").limit(200), mhdir,
+                        bands=8)
+    batch = docs.select("doc_id", "text").limit(3).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    q14 = minhash_index_candidates(spark, mhdir, batch, bands=8)
+    p14 = plan_of(q14)
+    sections.append(("minhash index probe: static _bk partition prune",
+                     q14, p14))
+    checks.append(("index probe: PartitionFilters prune on _bk + broadcast semi",
+                   bool(re.search(r"PartitionFilters: \[[^\]]*_bk", p14))
+                   and "BroadcastHashJoin" in p14))
+    _sh.rmtree(mhdir, ignore_errors=True)
+
     with open(_os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write("# EXPLAIN audit — hot-path physical plans\n\n")
         f.write("Checks:\n\n")
