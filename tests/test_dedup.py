@@ -368,3 +368,75 @@ def test_minhash_index_upsert_equals_rebuild(spark, tmp_path):
     # every verified pair involves the planted copy; the novel doc
     # (20000) near-duplicates nothing
     assert all(b == src_id + 10_000 for _, b in pairs)
+
+
+def test_minhash_index_upsert_cost_tracks_changes_not_corpus(spark, tmp_path):
+    """r5 scale property, structurally asserted (no timing): the same
+    change window against a 4x larger corpus rewrites the SAME bucket
+    partitions — upsert cost is O(changed docs x bands), not O(corpus).
+    Also: a dangling staged version directory left by a crash mid-stage
+    is repaired (removed and restaged) by the next upsert."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from database_delta_plugins_spark.lake.table import LakeTable
+    from database_delta_plugins_spark.operators.dedup import (
+        _minhash_index_rows,
+        minhash_index_build,
+        minhash_index_upsert,
+    )
+    from database_delta_plugins_spark.operators.similarity import index_read
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True)])
+
+    def ops(df, op, lsn0):
+        return df.select(
+            "doc_id", "text", F.lit(op).alias("op_type"),
+            (F.lit(lsn0) + F.col("doc_id")).alias("lsn"),
+            F.lit(0).alias("seq"), F.lit(0).alias("ts_ms"))
+
+    # identical change window (2 docs mutated) on a 100-doc and a
+    # 400-doc corpus
+    win = docs.filter(F.col("doc_id").isin([3, 7])).select(
+        "doc_id", F.concat("text", F.lit(" tail")).alias("text"))
+    stats_by_size = {}
+    for size in (100, 400):
+        base = docs.filter(F.col("doc_id") < size)
+        t = LakeTable.create(spark, str(tmp_path / f"t{size}"), schema,
+                             key="doc_id", num_buckets=2, write_mode="mor")
+        t.merge(ops(base, "I", 1_000), epoch_id=1)
+        t = t.refresh()
+        v1 = t.version
+        idx = str(tmp_path / f"mh{size}")
+        minhash_index_build(t.read().select("doc_id", "text"), idx, bands=8)
+        t.merge(ops(win, "U", 10_000), epoch_id=2)
+        t = t.refresh()
+        stats_by_size[size] = (
+            minhash_index_upsert(spark, idx, t.changes(v1), bands=8), idx, t)
+
+    s100, s400 = stats_by_size[100][0], stats_by_size[400][0]
+    # same changed docs -> same band rows -> same touched buckets,
+    # regardless of corpus size (<= 2 docs x 8 bands x 2 = 32 buckets)
+    assert s100["partitions_rewritten"] == s400["partitions_rewritten"]
+    assert s100["upserts"] == s400["upserts"] == 2
+    assert s400["partitions_rewritten"] <= 32
+
+    # crash repair: plant a dangling staged _v3 with junk, re-upsert
+    _, idx400, t400 = stats_by_size[400]
+    dangling = os.path.join(idx400, "_v3")
+    os.makedirs(os.path.join(dangling, "_bk=999"))
+    with open(os.path.join(dangling, "_bk=999", "junk"), "w") as f:
+        f.write("crash leftover")
+    minhash_index_upsert(spark, idx400, t400.changes(1), bands=8)
+    final = t400.read().select("doc_id", "text")
+    want = _minhash_index_rows(final, "doc_id", "text", 3, 8, 64)
+    got = index_read(spark, idx400).select(
+        "doc_id", "band", "band_hash", "_bk")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
