@@ -853,6 +853,36 @@ def q_multimodal_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-FRAME video features (r5): decode_frames samples every 2nd
+    frame of each real AVI payload and emits one row per sampled frame
+    with that frame's pixel histogram — the frame-level feature a video
+    dedup pipeline keys on. The oracle recomputes each sampled frame's
+    histogram from the generative pixel formula (never touching AVI
+    bytes): agreement proves the decoder attributes pixels to the RIGHT
+    frame, not just the right video (a frame permutation would pass
+    multimodal_avi's whole-video histogram but fail this)."""
+    from database_delta_plugins_spark.operators.multimodal import (
+        decode_frames,
+        synth_avi_media_df,
+    )
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    media = synth_avi_media_df(ids)
+    d = decode_frames(media, every_n=2, feature_dim=8)
+    mid = F.col("media_id")
+    npix = ((8 * (mid % 3 + 1)) * (8 * (mid % 2 + 1)) * 3)
+    counts = F.transform(
+        F.col("feature"),
+        lambda x: F.round(x * npix.cast("float"), 0).cast("int"),
+    )
+    return d.select(
+        "media_id", F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.concat_ws(",", F.transform(counts, lambda c: c.cast("string")))
+        .alias("pixel_hist"),
+    )
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (r5) over documents: duplicate-
     line fractions (array-local, no shuffle), top-2/3-gram char
@@ -1115,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png": q_multimodal_png,
         "multimodal_wav": q_multimodal_wav,
         "multimodal_avi": q_multimodal_avi,
+        "video_frames": q_video_frames,
         "text_repetition": q_text_repetition,
         "extract_text_roundtrip": q_extract_text_roundtrip,
         "ann_index_upsert_check": q_ann_index_upsert_check,
@@ -1845,6 +1876,37 @@ def oracle_sql() -> dict[str, str]:
                  min(d.nf) AS n_frames
           FROM filled f JOIN dims d ON f.media_id = d.media_id
           GROUP BY f.media_id
+        """,
+        "video_frames": """
+          WITH ids AS (SELECT doc_id AS media_id FROM documents),
+          dims AS (SELECT media_id,
+                          media_id % 3 + 2 AS nf,
+                          8 * (media_id % 3 + 1) AS w,
+                          8 * (media_id % 2 + 1) AS h
+                   FROM ids),
+          -- sampled frames: every 2nd index below nf
+          fr AS (SELECT d.*, t.range AS frame_idx
+                 FROM dims d, range(4) t
+                 WHERE t.range < d.nf AND t.range % 2 = 0),
+          px AS (SELECT f.media_id, f.frame_idx,
+                        ((x.range * x.range + 3 * y.range * y.range
+                          + 5 * f.frame_idx * f.frame_idx + 7 * c.range
+                          + f.media_id) % 256) % 8 AS bin
+                 FROM fr f, range(16) y, range(24) x, range(3) c
+                 WHERE y.range < f.h AND x.range < f.w),
+          cnt AS (SELECT media_id, frame_idx, bin, count(*) AS n
+                  FROM px GROUP BY 1, 2, 3),
+          grid AS (SELECT media_id, frame_idx, b.range AS bin
+                   FROM fr, range(8) b),
+          filled AS (SELECT g.media_id, g.frame_idx, g.bin,
+                            coalesce(c.n, 0) AS n
+                     FROM grid g LEFT JOIN cnt c
+                     ON g.media_id = c.media_id
+                        AND g.frame_idx = c.frame_idx AND g.bin = c.bin)
+          SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+                 string_agg(CAST(n AS VARCHAR), ',' ORDER BY bin)
+                   AS pixel_hist
+          FROM filled GROUP BY media_id, frame_idx
         """,
         # the identical Gopher-repetition arithmetic over word arrays,
         # line lists and n-gram multisets, replayed in DuckDB list ops

@@ -265,3 +265,34 @@ def test_decode_media_real_avi(spark):
         assert got[mid]["kind"] == "video"
         assert got[mid]["n_frames"] == nf
         assert np.allclose(got[mid]["feature"], want, atol=1e-6), mid
+
+
+def test_decode_frames_per_frame_features(spark):
+    """r5: decode_frames emits one row per SAMPLED frame with that
+    frame's own histogram — frame attribution, not just whole-video
+    decode; non-video rows are pruned before the codec."""
+    import numpy as np
+
+    from database_delta_plugins_spark.operators.multimodal import (
+        decode_frames,
+        synth_avi_media_df,
+        synth_wav_media_df,
+    )
+
+    ids = spark.range(9).withColumnRenamed("id", "doc_id")
+    media = synth_avi_media_df(ids)
+    got = {(r["media_id"], r["frame_idx"]): r["feature"]
+           for r in decode_frames(media, every_n=2, feature_dim=8).collect()}
+    # every 2nd frame of nf = id%3+2 frames
+    want_keys = {(mid, fi) for mid in range(9)
+                 for fi in range(0, mid % 3 + 2, 2)}
+    assert set(got) == want_keys
+    for (mid, fi), feat in got.items():
+        w, h = 8 * (mid % 3 + 1), 8 * (mid % 2 + 1)
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        v = ((x * x + 3 * y * y + 5 * fi * fi + 7 * c + mid) % 256) \
+            .ravel() % 8
+        want = np.bincount(v, minlength=8) / v.size
+        assert np.allclose(feat, want, atol=1e-6), (mid, fi)
+    # audio rows never reach the codec (pruned on meta.kind)
+    assert decode_frames(synth_wav_media_df(ids), every_n=1).count() == 0
