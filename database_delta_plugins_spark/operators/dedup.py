@@ -569,19 +569,25 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         # on the driver, well under any sane driver heap; beyond it the
         # pointer-jumping loop below is the only shape that scales.
         return _cc_driver(spark, edges)
-    sp0 = spark.conf.get("spark.sql.shuffle.partitions")
-    aqe0 = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    loop_sp = max(1, min(int(sp0), n_edges // 100_000 + 1))
-    scoped = loop_sp < int(sp0)
-    if scoped:
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_sp))
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
+    sp0 = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_sp = max(1, min(sp0, n_edges // 100_000 + 1))
+    if loop_sp >= sp0:
         return _cc_rounds(edges, max_iter, on_nonconverge)
-    finally:
-        if scoped:
-            spark.conf.set("spark.sql.shuffle.partitions", sp0)
-            spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+    # Scope the narrower width + AQE-off to a CHILD SESSION (same
+    # SparkContext, private SQLConf) instead of mutating the shared
+    # session's conf — a concurrent query (a streaming foreachBatch on
+    # the same session, another thread) planned mid-loop must never see
+    # a 1-partition shuffle width (r5 review). The edge relation crosses
+    # sessions via its RDD (already materialized by the count above);
+    # the small (node, comp) result crosses back the same way so the
+    # caller can join it with parent-session relations.
+    child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", str(loop_sp))
+    child.conf.set("spark.sql.adaptive.enabled", "false")
+    e2 = child.createDataFrame(edges.rdd, edges.schema) \
+        .localCheckpoint(eager=False)
+    out = _cc_rounds(e2, max_iter, on_nonconverge)
+    return spark.createDataFrame(out.rdd, out.schema)
 
 
 #: Edge-count threshold for the driver union-find fast path — the
@@ -597,11 +603,17 @@ def _cc_driver(spark, edges: DataFrame) -> DataFrame:
     + union by label (the smaller ROOT LABEL wins every union, so each
     component's root is its minimum id — identical semantics to the
     distributed loop, which also converges every node to the minimum
-    reachable id)."""
-    pdf = edges.select("src", "dst").toPandas()
-    parent: dict[int, int] = {}
+    reachable id). Generic over the id type: any orderable id column
+    (long doc ids, url strings) works, and the output schema carries
+    the input's id type — matching the distributed path (r5 review:
+    the first cut int()-cast ids and broke string-keyed graphs)."""
+    from pyspark.sql import types as T
 
-    def find(x: int) -> int:
+    id_type = edges.schema["src"].dataType
+    pdf = edges.select("src", "dst").toPandas()
+    parent: dict = {}
+
+    def find(x):
         r = x
         while parent[r] != r:
             r = parent[r]
@@ -609,8 +621,9 @@ def _cc_driver(spark, edges: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for s, d in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
-        s, d = int(s), int(d)
+    # .tolist() converts numpy scalars to plain python values so dict
+    # keys and comparisons behave identically for ints and strings
+    for s, d in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
         parent.setdefault(s, s)
         parent.setdefault(d, d)
         rs, rd = find(s), find(d)
@@ -621,12 +634,10 @@ def _cc_driver(spark, edges: DataFrame) -> DataFrame:
             else:
                 parent[rs] = rd
     rows = [(n, find(n)) for n in parent]
-    out = spark.createDataFrame(
-        pd.DataFrame(rows, columns=["node", "comp"])
-        if rows else pd.DataFrame({"node": pd.Series(dtype="int64"),
-                                   "comp": pd.Series(dtype="int64")}))
-    return out.select(F.col("node").cast("long").alias("node"),
-                      F.col("comp").cast("long").alias("comp"))
+    out_schema = T.StructType([
+        T.StructField("node", id_type, False),
+        T.StructField("comp", id_type, False)])
+    return spark.createDataFrame(rows, out_schema)
 
 
 def _cc_rounds(edges: DataFrame, max_iter: int,
@@ -813,9 +824,45 @@ def minhash_index_build(docs: DataFrame, index_path: str,
     promote), and refresh ≡ rebuild is gate-checked."""
     from .similarity import index_write
 
-    return index_write(
+    import json
+    import os
+
+    from .similarity import index_write
+
+    root = index_write(
         _minhash_index_rows(docs, id_col, text_col, n, bands, n_buckets),
         index_path, "_bk")
+    # persist the hash-family config AT THE INDEX ROOT (survives version
+    # swaps; underscore-prefixed = invisible to Spark's listing): band
+    # rows from a different (n, bands, n_buckets) are a different hash
+    # family, and an upsert/probe under mismatched config would silently
+    # corrupt the index / collide with nothing (r5 review). Upsert and
+    # probe validate against it and fail loudly.
+    with open(os.path.join(index_path, "_config.json"), "w") as f:
+        json.dump({"n": n, "bands": bands, "n_buckets": n_buckets}, f)
+    return root
+
+
+def _check_index_config(index_path: str, n: int, bands: int,
+                        n_buckets: int) -> None:
+    """Fail loudly when an upsert/probe names a different hash family
+    than the index was built with (missing config = pre-r5 index:
+    validation is skipped, the caller owns consistency)."""
+    import json
+    import os
+
+    p = os.path.join(index_path, "_config.json")
+    if not os.path.exists(p):
+        return
+    with open(p) as f:
+        cfg = json.load(f)
+    got = {"n": n, "bands": bands, "n_buckets": n_buckets}
+    if cfg != got:
+        raise ValueError(
+            f"minhash index at {index_path} was built with {cfg}, "
+            f"called with {got} — a mismatched hash family would "
+            "silently corrupt the index (upsert) or collide with "
+            "nothing (probe)")
 
 
 def minhash_index_upsert(spark, index_path: str, changes: DataFrame,
@@ -833,6 +880,8 @@ def minhash_index_upsert(spark, index_path: str, changes: DataFrame,
     a full rebuild over the post-window table (gate-checked). Returns
     the upsert stats + bucket-imbalance drift audit dict."""
     from .similarity import _index_upsert
+
+    _check_index_config(index_path, n, bands, n_buckets)
 
     def assign(rows: DataFrame) -> DataFrame:
         return _minhash_index_rows(rows, id_col, text_col, n, bands,
@@ -868,6 +917,7 @@ def minhash_index_candidates(spark, index_path: str, new_docs: DataFrame,
     candidate pair set (id_a < id_b) is returned."""
     from .similarity import index_read
 
+    _check_index_config(index_path, n, bands, n_buckets)
     idx = index_read(spark, index_path)
     q = _minhash_index_rows(new_docs, id_col, text_col, n, bands,
                             n_buckets).localCheckpoint(eager=False)

@@ -585,9 +585,18 @@ def decode_frames(df: DataFrame, every_n: int = 1,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, feats = [], [], []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"],
+                                          pdf["meta"]):
                 if payload is None:
                     continue
+                mime = meta["mime"] if meta is not None else None
+                if mime not in ("video/avi", "video/x-msvideo"):
+                    # same codec seam as decode_media: an unsupported
+                    # container is a stated gap, not a parse crash
+                    raise NotImplementedError(
+                        f"real frame decode of {mime} requires codec libs "
+                        "not present in this environment; uncompressed "
+                        "AVI (avi_decode) decodes natively")
                 frames, _fps = avi_decode(payload)
                 for fi in range(0, frames.shape[0], every_n):
                     v = frames[fi].ravel()

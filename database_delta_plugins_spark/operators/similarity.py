@@ -663,8 +663,11 @@ def _index_upsert(spark, index_path: str, changes: DataFrame,
     new_parts = ups.select(part_col).distinct()
     parts = [r[0] for r in old_parts.union(new_parts).distinct().collect()]
     if not parts:
+        # no-op window: the pointer is untouched — report the CURRENT
+        # version so the return contract matches the rewrite path
+        # (r5 review: the missing key broke stats["version"] callers)
         return {"partitions_rewritten": 0, "partitions_cleared": 0,
-                "upserts": 0, "deletes": 0,
+                "upserts": 0, "deletes": 0, "version": cur_version,
                 **_imbalance_stats(prev_counts)}
     affected_dirs = {_part_dirname(part_col, p) for p in parts}
     # affected partitions' new contents: surviving old rows + upserts.

@@ -128,14 +128,27 @@ def serve_jsonl_log(json_log_dir: str, host: str = "127.0.0.1",
                     break
                 # ADVICE r4: one dropped client (BrokenPipe/Reset out of
                 # sendall) must not take down the listener — record the
-                # partial serve and keep accepting
+                # partial serve and keep accepting. r5: catch Exception,
+                # not just OSError — a CALLABLE from_lsn runs arbitrary
+                # frontier-lookup code (LakeTable.load via py4j) on this
+                # thread at every accept, and a transient error there
+                # would otherwise kill the accept loop and close the
+                # listening socket, leaving every future reconnect (the
+                # documented recovery path) with connection refused. The
+                # connection is closed here, not in _serve_one, so a
+                # pre-`with conn:` failure cannot leak the socket.
                 st = {"from_lsn": 0, "events": 0, "bytes": 0,
-                      "complete": False}
+                      "complete": False, "error": None}
                 server.stats.append(st)
                 try:
                     _serve_one(conn, st)
-                except OSError:
-                    pass
+                except Exception as e:  # noqa: BLE001 — listener must live
+                    st["error"] = repr(e)
+                finally:
+                    try:
+                        conn.close()
+                    except OSError:
+                        pass
                 served += 1
         finally:
             try:

@@ -722,22 +722,30 @@ class CDCPipeline:
 
     # ------------------------------------------------------------- runners
     def committed_frontier(self) -> int:
-        """The durable replay frontier: the max committed lsn across this
-        pipeline's tables (0 before any commit). This is the binlog
-        position the reference's connector stores in its offset state —
-        here it lives in the lake tables' commit lineage, so it survives
-        restarts with the data it fences. Pass as the tail server's
-        ``from_lsn`` callable (``sources/net.serve_jsonl_log``) so a
-        reconnect streams only events beyond what is already applied —
-        at 100 TB a from-0 re-tail re-ships the whole history over the
-        wire just for D11 to discard it."""
-        lo = 0
+        """The durable replay frontier: the MINIMUM committed lsn across
+        this pipeline's tables (0 before any commit, and 0 while any
+        table has no commit yet). This is the binlog position the
+        reference's connector stores in its offset state — here it lives
+        in the lake tables' commit lineage, so it survives restarts with
+        the data it fences. Pass as the tail server's ``from_lsn``
+        callable (``sources/net.serve_jsonl_log``) so a reconnect
+        streams only events beyond what is already applied — at 100 TB
+        a from-0 re-tail re-ships the whole history over the wire just
+        for D11 to discard it.
+
+        Min, NOT max: tables commit sequentially within a batch, so a
+        crash between two tables' commits leaves their frontiers split.
+        A max-frontier restart would never re-serve the lagging table's
+        gap — silent divergence; with min, the overlap the leading table
+        re-receives is dropped per table by the D11 committed-lsn
+        filter (the r4 from-0 replay relied on exactly that, this is
+        the same mechanism over a shorter tail)."""
+        frontiers = []
         for p in self._all_table_paths():
-            if LakeTable.exists(p):
-                f = LakeTable.load(self.spark, p).last_committed_lsn()
-                if f is not None:
-                    lo = max(lo, f)
-        return lo
+            f = (LakeTable.load(self.spark, p).last_committed_lsn()
+                 if LakeTable.exists(p) else None)
+            frontiers.append(0 if f is None else f)
+        return min(frontiers, default=0)
 
     def read_stream(self) -> DataFrame:
         if self.source_format == "socket":

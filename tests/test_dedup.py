@@ -145,6 +145,16 @@ def test_connected_components_long_path_pointer_jumping(spark):
     got_drv = connected_components(pairs).collect()
     assert len(got_drv) == 1000 and all(r["comp"] == 0 for r in got_drv)
 
+    # r5 review: the fast path is generic over the id type — string-
+    # keyed graphs (url dedup pairs) resolve with string min-labels and
+    # the output schema carries the input type
+    spark = pairs.sparkSession
+    spairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "id_a string, id_b string")
+    got_s = {r["node"]: r["comp"]
+             for r in connected_components(spairs).collect()}
+    assert got_s == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
 
 def test_simhash_arrow_impl_matches_catalyst(spark, sf_dir):
     """The Arrow (numpy-batch) fingerprint kernel is bit-identical to
@@ -359,6 +369,14 @@ def test_minhash_index_upsert_equals_rebuild(spark, tmp_path):
         .unionByName(spark.createDataFrame(
             [(20_000, "totally novel words qqq www eee rrr ttt yyy uuu")],
             "doc_id long, text string"))
+    # config guard (r5 review): a mismatched hash family fails loudly
+    # instead of silently corrupting the index / colliding with nothing
+    import pytest as _pt
+    with _pt.raises(ValueError, match="built with"):
+        minhash_index_upsert(spark, idx, t.changes(v1), bands=16)
+    with _pt.raises(ValueError, match="built with"):
+        minhash_index_candidates(spark, idx, final.limit(1), bands=16)
+
     ver = minhash_index_candidates(spark, idx, batch, corpus_docs=final,
                                    threshold=0.8, bands=8).collect()
     pairs = {(r["id_a"], r["id_b"]) for r in ver}

@@ -296,3 +296,9 @@ def test_decode_frames_per_frame_features(spark):
         assert np.allclose(feat, want, atol=1e-6), (mid, fi)
     # audio rows never reach the codec (pruned on meta.kind)
     assert decode_frames(synth_wav_media_df(ids), every_n=1).count() == 0
+    # non-AVI video mime is the documented codec seam, not a parse crash
+    from database_delta_plugins_spark.operators.multimodal import synth_media_df
+    with pytest.raises(Exception) as ei:
+        decode_frames(synth_media_df(spark, n=6), every_n=1).collect()
+    assert "NotImplementedError" in str(ei.value) \
+        or isinstance(ei.value, NotImplementedError)

@@ -832,3 +832,87 @@ def test_tail_server_survives_dropped_client(tmp_path):
     assert srv.stats[0]["complete"] is False
     assert srv.stats[1]["complete"] is True and srv.stats[1]["events"] == n
     srv.close()
+
+
+def test_tail_server_survives_from_lsn_errors(tmp_path):
+    """r5 review: the from_lsn CALLABLE runs frontier-lookup code on the
+    server thread at every accept — a transient error there (table
+    mid-commit, stopped Spark session) must not kill the accept loop or
+    leak the connection; the next reconnect is served normally."""
+    import os
+    import socket
+
+    from database_delta_plugins_spark.sources.net import serve_jsonl_log
+
+    log = tmp_path / "jlog"
+    os.makedirs(log)
+    with open(log / "part-00000.json", "w") as f:
+        for i in range(50):
+            f.write('{"lsn": %d}\n' % i)
+
+    calls = {"n": 0}
+
+    def flaky_frontier():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient frontier lookup failure")
+        return 39  # serve only the tail beyond lsn 39
+
+    srv = serve_jsonl_log(str(log), from_lsn=flaky_frontier, max_clients=4)
+
+    # first connect: the callable raises; connection closes, server lives
+    c1 = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+    assert c1.recv(1 << 16) == b""
+    c1.close()
+
+    # second connect: served the tail
+    c2 = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+    got = b""
+    while True:
+        chunk = c2.recv(1 << 16)
+        if not chunk:
+            break
+        got += chunk
+    c2.close()
+    lines = [json.loads(x) for x in got.decode().strip().split("\n")]
+    assert [r["lsn"] for r in lines] == list(range(40, 50))
+    assert srv.stats[0]["error"] is not None and "transient" in srv.stats[0]["error"]
+    assert srv.stats[1]["complete"] is True and srv.stats[1]["events"] == 10
+    srv.close()
+
+
+def test_committed_frontier_is_min_across_tables(spark, sf_dir, tmp_path):
+    """r5 review (the round's one real bug): with tables committing
+    sequentially, a crash between two tables' commits splits their
+    frontiers — committed_frontier must report the MIN (the lagging
+    table's position), else a tail-only restart never re-serves the
+    lagging table's gap and it silently diverges."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from database_delta_plugins_spark.lake.table import LakeTable
+    from database_delta_plugins_spark.streaming.pipeline import CDCPipeline
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("text", T.StringType(), True)])
+
+    def mk(name, lsn):
+        t = LakeTable.create(spark, str(tmp_path / name), schema,
+                             key="url", num_buckets=2, write_mode="mor")
+        t.merge(spark.createDataFrame(
+            [("u1", "v", "I", lsn, 0, 0)],
+            "url string, text string, op_type string, lsn long, "
+            "seq int, ts_ms long"), epoch_id=1)
+        return t
+
+    mk("ta", 100)   # leading table committed through lsn 100
+    mk("tb", 80)    # lagging table crashed before its later commit
+    p = CDCPipeline.__new__(CDCPipeline)
+    p.spark = spark
+    p._all_table_paths = lambda: [str(tmp_path / "ta"), str(tmp_path / "tb"),
+                                  str(tmp_path / "tc_never_created")]
+    # min across tables, with a not-yet-bootstrapped table pinning to 0
+    assert p.committed_frontier() == 0
+    p._all_table_paths = lambda: [str(tmp_path / "ta"), str(tmp_path / "tb")]
+    assert p.committed_frontier() == 80

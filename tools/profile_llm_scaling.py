@@ -37,6 +37,7 @@ def _phases_minhash(spark, corpus: str, entrymod) -> dict:
     from pyspark.sql import functions as F
 
     from database_delta_plugins_spark.operators.dedup import (
+        _band_rows,
         _cap_postings,
         _shingle_base,
         _verify_exact_jaccard,
@@ -52,16 +53,11 @@ def _phases_minhash(spark, corpus: str, entrymod) -> dict:
         t0 = time.time()
 
     docs = entrymod._docs(spark, corpus)
-    bands, rows_per_band = 16, 4
     base = _shingle_base(docs, "doc_id", "text", 3)
     sigs = minhash_signature_arrow(base)
-    bandrows = sigs.select(
-        "id",
-        F.posexplode(F.array(*[
-            F.xxhash64(F.concat_ws(",", *[
-                F.col("minhash")[b * rows_per_band + r].cast("string")
-                for r in range(rows_per_band)]))
-            for b in range(bands)])).alias("band", "band_hash"))
+    # the SHARED banding helper (r5) — the profiler must measure the
+    # production kernel, not a hand-copied snapshot of it
+    bandrows = _band_rows(sigs, bands=16)
     bandrows = _cap_postings(bandrows, ["band", "band_hash"], 50) \
         .localCheckpoint(eager=False)
     bandrows.count()
