@@ -818,6 +818,33 @@ def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning + sampling (r5): mixture_rates
+    turns target mixture weights (src0/src1 upweighted 8x, src2/src3
+    4x over the tail) + a budget of total_tokens // 10 into per-source
+    acceptance rates from the corpus's ACTUAL per-source token counts,
+    then sample_by_source draws the deterministic sample. No source
+    saturates at these weights, so the oracle mirrors the exact float64
+    rate arithmetic (budget * w / tokens, truncated at the 10^-6
+    threshold grid) and the identical multiplicative-hash membership
+    rule."""
+    from database_delta_plugins_spark.operators.dedup import (
+        mixture_rates,
+        sample_by_source,
+    )
+
+    d = _docs(spark, sf_dir)
+    targets = {f"src{i}": (0.2 if i < 2 else 0.1 if i < 4 else 0.025)
+               for i in range(20)}
+    total = sum(
+        r[0] for r in d.agg(F.sum(
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            .cast("long"))).collect())
+    rates, _audit = mixture_rates(d, targets, total // 10)
+    return (sample_by_source(d, rates, default_rate=0.0)
+            .select("doc_id", "source"))
+
+
 def q_multimodal_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode e2e (r5): synth_avi_media_df builds genuine
     uncompressed RIFF/AVI byte streams executor-side (bottom-up BGR DIB
@@ -1146,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_wav": q_multimodal_wav,
         "multimodal_avi": q_multimodal_avi,
         "video_frames": q_video_frames,
+        "corpus_mixture": q_corpus_mixture,
         "text_repetition": q_text_repetition,
         "extract_text_roundtrip": q_extract_text_roundtrip,
         "ann_index_upsert_check": q_ann_index_upsert_check,
@@ -1876,6 +1904,31 @@ def oracle_sql() -> dict[str, str]:
                  min(d.nf) AS n_frames
           FROM filled f JOIN dims d ON f.media_id = d.media_id
           GROUP BY f.media_id
+        """,
+        # the planner's exact float64 arithmetic (budget * w / tokens,
+        # int-truncated at the 10^-6 grid) + the multiplicative-hash
+        # membership rule, both mirrored verbatim
+        "corpus_mixture": r"""
+          WITH t AS (
+            SELECT source,
+                   CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+                        AS BIGINT) AS toks
+            FROM documents GROUP BY source
+          ),
+          b AS (SELECT CAST(SUM(toks) AS BIGINT) // 10 AS budget FROM t),
+          r AS (
+            SELECT t.source,
+                   CAST(trunc(b.budget
+                              * (CASE WHEN t.source IN ('src0', 'src1')
+                                      THEN 0.2
+                                      WHEN t.source IN ('src2', 'src3')
+                                      THEN 0.1 ELSE 0.025 END)
+                              / t.toks * 1000000) AS BIGINT) AS thr
+            FROM t, b
+          )
+          SELECT d.doc_id, d.source
+          FROM documents d JOIN r ON d.source = r.source
+          WHERE (d.doc_id * 2654435761) % 1000000 < r.thr
         """,
         "video_frames": """
           WITH ids AS (SELECT doc_id AS media_id FROM documents),

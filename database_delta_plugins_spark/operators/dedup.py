@@ -780,6 +780,73 @@ def sample_by_source(df: DataFrame, rates: dict[str, float],
     return df.filter(h < expr)
 
 
+def mixture_rates(df: DataFrame, targets: dict[str, float],
+                  token_budget: int, source_col: str = "source",
+                  text_col: str = "text") -> tuple[dict, dict]:
+    """Token-budget mixture PLANNER (r5) — turns the corpus-composition
+    spec a data team writes (target mixture weights + a total token
+    budget) into the per-source acceptance rates ``sample_by_source``
+    consumes, from the corpus's actual per-source token counts.
+
+    rate_s = (token_budget * w_s) / tokens_s, i.e. each source
+    contributes ~w_s of the budget in expectation. Weights are used
+    unnormalized (pass weights summing to 1). Sources absent from
+    ``targets`` get rate 0.0 (excluded). When a source cannot meet its
+    share (rate would exceed 1.0), it saturates at 1.0 — the whole
+    source is kept — and the shortfall is redistributed over the
+    remaining sources by renormalized weight (water-filling), iterating
+    until no new source saturates; deterministic (sources processed in
+    sorted order).
+
+    One narrow per-source aggregate over the corpus (map-side combined,
+    S rows to the driver — S = #sources, never #docs); the returned
+    audit carries per-source token counts, planned tokens and the
+    saturated set. Compose: ``sample_by_source(df, rates,
+    default_rate=0.0)``."""
+    if token_budget < 0:
+        raise ValueError(f"token_budget must be >= 0, got {token_budget}")
+    toks = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col).agg(
+            F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+                  .cast("long")).alias("_t")).collect()
+    }
+    unknown = sorted(set(targets) - set(toks))
+    if unknown:
+        raise ValueError(f"targets name absent sources {unknown}")
+    rates = {s: 0.0 for s in toks if s not in targets}
+    active = {s: targets[s] for s in sorted(targets)}
+    remaining = float(token_budget)
+    scale = 1.0   # 1/sum(active weights); 1.0 while nothing saturated
+    while True:
+        sat = [s for s in active
+               if (remaining * (active[s] * scale)) / toks[s] >= 1.0]
+        if not sat:
+            break
+        for s in sat:
+            rates[s] = 1.0
+            remaining -= toks[s]
+            del active[s]
+        wsum = sum(active.values())
+        if not active or wsum <= 0 or remaining <= 0:
+            for s in active:
+                rates[s] = 0.0 if remaining <= 0 else rates.get(s, 0.0)
+            active = {}
+            break
+        scale = 1.0 / wsum
+    for s in active:
+        # no-saturation fast path keeps the exact (budget * w) / toks
+        # float64 op order so a SQL oracle can mirror it verbatim
+        rates[s] = ((token_budget * active[s]) / toks[s] if scale == 1.0
+                    else (remaining * (active[s] * scale)) / toks[s])
+    planned = {s: (toks[s] if rates[s] >= 1.0
+                   else int(rates[s] * toks[s])) for s in toks}
+    audit = {"tokens": toks, "planned_tokens": planned,
+             "saturated": sorted(s for s, r in rates.items() if r >= 1.0),
+             "budget": token_budget}
+    return rates, audit
+
+
 # ---------------------------------------------------------------------------
 # Persisted minhash dedup index + CDC-driven incremental maintenance (r5).
 # The dedup analogue of similarity.py's ANN index upserts: a CDC-maintained

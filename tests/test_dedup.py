@@ -458,3 +458,51 @@ def test_minhash_index_upsert_cost_tracks_changes_not_corpus(spark, tmp_path):
         "doc_id", "band", "band_hash", "_bk")
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_mixture_rates_budget_and_waterfilling(spark):
+    """r5: the token-budget mixture planner — expected contribution per
+    source ~ budget * weight in the unsaturated case; a source too
+    small for its share saturates at rate 1.0 and the shortfall
+    redistributes over the rest by renormalized weight; absent sources
+    are excluded; unknown targets fail loudly."""
+    import pytest as _pt
+
+    from database_delta_plugins_spark.operators.dedup import (
+        mixture_rates,
+        sample_by_source,
+    )
+
+    # srcA: 1000 tokens, srcB: 1000, srcC (tiny): 10, srcD: untargeted
+    rows = []
+    did = 0
+    for src, ndoc, tok in [("srcA", 100, 10), ("srcB", 100, 10),
+                           ("srcC", 1, 10), ("srcD", 5, 10)]:
+        for _ in range(ndoc):
+            rows.append((did, src, " ".join(["w"] * tok)))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    # unsaturated: budget 400, weights .5/.25/.25 -> rates .2/.1/10.0?
+    # srcC's share is 100 tokens but it only has 10 -> saturates at 1.0,
+    # shortfall (90) redistributes .5/.25 renormalized over A/B
+    rates, audit = mixture_rates(
+        df, {"srcA": 0.5, "srcB": 0.25, "srcC": 0.25}, 400)
+    assert rates["srcC"] == 1.0 and audit["saturated"] == ["srcC"]
+    assert rates["srcD"] == 0.0
+    # remaining 390 split 2:1 -> A 260/1000, B 130/1000
+    assert abs(rates["srcA"] - 0.26) < 1e-12
+    assert abs(rates["srcB"] - 0.13) < 1e-12
+    assert audit["planned_tokens"]["srcC"] == 10
+    # the sample respects exclusions and keeps all of the saturated src
+    got = sample_by_source(df, rates, default_rate=0.0)
+    assert got.filter("source = 'srcD'").count() == 0
+    assert got.filter("source = 'srcC'").count() == 1
+
+    # no saturation: exact (budget * w) / toks
+    r2, a2 = mixture_rates(df, {"srcA": 0.5, "srcB": 0.5}, 200)
+    assert r2["srcA"] == (200 * 0.5) / 1000 and r2["srcB"] == 0.1
+    assert a2["saturated"] == []
+
+    with _pt.raises(ValueError, match="absent sources"):
+        mixture_rates(df, {"srcZ": 1.0}, 100)
