@@ -577,18 +577,33 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # SparkContext, private SQLConf) instead of mutating the shared
     # session's conf — a concurrent query (a streaming foreachBatch on
     # the same session, another thread) planned mid-loop must never see
-    # a 1-partition shuffle width (r5 review). The edge relation crosses
-    # sessions via its RDD (already materialized by the count above);
-    # the small (node, comp) result crosses back the same way so the
-    # caller can join it with parent-session relations.
+    # a 1-partition shuffle width (r5 review). Relations cross sessions
+    # through GLOBAL temp views — pure JVM plan sharing (a .rdd round
+    # trip would pickle every edge through Python, a scale-killer on
+    # exactly the large-graph path this branch exists for); the edges
+    # view reads the checkpoint the count above materialized, and the
+    # small (node, comp) result crosses back the same way so the caller
+    # can join it with parent-session relations. Views are dropped
+    # after the result binds (its analyzed plan captured the child
+    # relation; the name is only needed during analysis).
+    global _CC_VIEW_SEQ
+    _CC_VIEW_SEQ += 1
+    ename, oname = f"_cc_edges_{_CC_VIEW_SEQ}", f"_cc_labels_{_CC_VIEW_SEQ}"
     child = spark.newSession()
     child.conf.set("spark.sql.shuffle.partitions", str(loop_sp))
     child.conf.set("spark.sql.adaptive.enabled", "false")
-    e2 = child.createDataFrame(edges.rdd, edges.schema) \
-        .localCheckpoint(eager=False)
-    out = _cc_rounds(e2, max_iter, on_nonconverge)
-    return spark.createDataFrame(out.rdd, out.schema)
+    edges.createOrReplaceGlobalTempView(ename)
+    out = _cc_rounds(child.table(f"global_temp.{ename}"),
+                     max_iter, on_nonconverge)
+    out.createOrReplaceGlobalTempView(oname)
+    res = spark.table(f"global_temp.{oname}")
+    res.schema  # force analysis so the view names can be dropped
+    spark.catalog.dropGlobalTempView(ename)
+    spark.catalog.dropGlobalTempView(oname)
+    return res
 
+
+_CC_VIEW_SEQ = 0
 
 #: Edge-count threshold for the driver union-find fast path — the
 #: CC analogue of spark.sql.autoBroadcastJoinThreshold: below it the
