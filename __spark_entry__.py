@@ -836,11 +836,14 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     targets = {f"src{i}": (0.2 if i < 2 else 0.1 if i < 4 else 0.025)
                for i in range(20)}
-    total = sum(
-        r[0] for r in d.agg(F.sum(
-            F.size(F.split(F.trim(F.col("text")), r"\s+"))
-            .cast("long"))).collect())
-    rates, _audit = mixture_rates(d, targets, total // 10)
+    # ONE per-source scan yields both the budget (sum // 10, exact int
+    # math mirrored by the oracle) and the planner's per-source counts
+    toks = {r[0]: r[1] for r in d.groupBy("source").agg(
+        F.coalesce(F.sum(
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")),
+            F.lit(0))).collect()}
+    rates, _audit = mixture_rates(d, targets, sum(toks.values()) // 10,
+                                  source_tokens=toks)
     return (sample_by_source(d, rates, default_rate=0.0)
             .select("doc_id", "source"))
 

@@ -1132,12 +1132,17 @@ class LakeTable:
             return []
         return [json.loads(ln) for ln in body.splitlines() if ln.strip()]
 
-    def record_epoch(self, epoch_id: str | int, note: str = "skipped") -> dict:
+    def record_epoch(self, epoch_id: str | int, note: str = "skipped",
+                     max_lsn: int | None = None) -> dict:
         """Metadata-only epoch fence: commits a zero-row record so a
         deliberately-skipped segment (e.g. DML addressed to a dropped
         table) is NOT re-applied on replay — without this, a restart
         after a later create_table revive would apply DML that the
-        original run correctly discarded (replay-equivalence)."""
+        original run correctly discarded (replay-equivalence).
+        ``max_lsn`` (r5) lets the pipeline advance the table's replay
+        frontier past a batch it received but had no rows in — an idle
+        table otherwise pins the multi-table min-frontier forever and
+        every tail reconnect re-ships the whole history."""
         eid = str(epoch_id)
         if eid in self.snap["epochs"]:
             rec = dict(self.snap["epochs"][eid])
@@ -1145,8 +1150,8 @@ class LakeTable:
             return rec
         snap = json.loads(json.dumps(self.snap))
         rec = {"epoch_id": eid, "committed_version": self.version + 1,
-               "rows_applied": 0, "max_lsn": None, "skipped_replay": False,
-               "note": note}
+               "rows_applied": 0, "max_lsn": max_lsn,
+               "skipped_replay": False, "note": note}
         snap["epochs"][eid] = rec
         snap["version"] = self.version + 1
         self._write_snapshot(snap)

@@ -586,24 +586,32 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # can join it with parent-session relations. Views are dropped
     # after the result binds (its analyzed plan captured the child
     # relation; the name is only needed during analysis).
-    global _CC_VIEW_SEQ
-    _CC_VIEW_SEQ += 1
-    ename, oname = f"_cc_edges_{_CC_VIEW_SEQ}", f"_cc_labels_{_CC_VIEW_SEQ}"
+    # uuid view names: the global-temp namespace is shared across every
+    # session of the context, so a counter (or fixed names) would let two
+    # concurrent connected_components calls replace each other's edge
+    # views and silently compute components of the wrong graph
+    import uuid
+
+    tag = uuid.uuid4().hex[:12]
+    ename, oname = f"_cc_edges_{tag}", f"_cc_labels_{tag}"
     child = spark.newSession()
     child.conf.set("spark.sql.shuffle.partitions", str(loop_sp))
     child.conf.set("spark.sql.adaptive.enabled", "false")
-    edges.createOrReplaceGlobalTempView(ename)
-    out = _cc_rounds(child.table(f"global_temp.{ename}"),
-                     max_iter, on_nonconverge)
-    out.createOrReplaceGlobalTempView(oname)
-    res = spark.table(f"global_temp.{oname}")
-    res.schema  # force analysis so the view names can be dropped
-    spark.catalog.dropGlobalTempView(ename)
-    spark.catalog.dropGlobalTempView(oname)
-    return res
+    try:
+        edges.createOrReplaceGlobalTempView(ename)
+        out = _cc_rounds(child.table(f"global_temp.{ename}"),
+                         max_iter, on_nonconverge)
+        out.createOrReplaceGlobalTempView(oname)
+        res = spark.table(f"global_temp.{oname}")
+        res.schema  # force analysis so the view names can be dropped
+        return res
+    finally:
+        # always drop (even when _cc_rounds raises on non-convergence):
+        # a leaked view pins the multi-million-edge checkpoint blocks
+        # for the app lifetime
+        spark.catalog.dropGlobalTempView(ename)
+        spark.catalog.dropGlobalTempView(oname)
 
-
-_CC_VIEW_SEQ = 0
 
 #: Edge-count threshold for the driver union-find fast path — the
 #: CC analogue of spark.sql.autoBroadcastJoinThreshold: below it the
@@ -648,11 +656,16 @@ def _cc_driver(spark, edges: DataFrame) -> DataFrame:
                 parent[rd] = rs
             else:
                 parent[rs] = rd
-    rows = [(n, find(n)) for n in parent]
     out_schema = T.StructType([
         T.StructField("node", id_type, False),
         T.StructField("comp", id_type, False)])
-    return spark.createDataFrame(rows, out_schema)
+    nodes = list(parent)
+    # pandas + explicit schema keeps the Arrow conversion path (a plain
+    # list of tuples pickles every row through py4j — seconds of driver
+    # time near the 2M-edge ceiling, on the latency fast path)
+    return spark.createDataFrame(
+        pd.DataFrame({"node": nodes, "comp": [find(n) for n in nodes]}),
+        schema=out_schema)
 
 
 def _cc_rounds(edges: DataFrame, max_iter: int,
@@ -797,7 +810,9 @@ def sample_by_source(df: DataFrame, rates: dict[str, float],
 
 def mixture_rates(df: DataFrame, targets: dict[str, float],
                   token_budget: int, source_col: str = "source",
-                  text_col: str = "text") -> tuple[dict, dict]:
+                  text_col: str = "text",
+                  source_tokens: dict[str, int] | None = None
+                  ) -> tuple[dict, dict]:
     """Token-budget mixture PLANNER (r5) — turns the corpus-composition
     spec a data team writes (target mixture weights + a total token
     budget) into the per-source acceptance rates ``sample_by_source``
@@ -820,17 +835,23 @@ def mixture_rates(df: DataFrame, targets: dict[str, float],
     default_rate=0.0)``."""
     if token_budget < 0:
         raise ValueError(f"token_budget must be >= 0, got {token_budget}")
-    toks = {
+    # ``source_tokens``: precomputed per-source counts (whitespace-token
+    # convention) — a caller that already aggregated them (e.g. to
+    # derive the budget from the total) avoids a second corpus scan
+    toks = dict(source_tokens) if source_tokens is not None else {
         r[0]: r[1]
         for r in df.groupBy(source_col).agg(
-            F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-                  .cast("long")).alias("_t")).collect()
+            F.coalesce(
+                F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+                      .cast("long")), F.lit(0)).alias("_t")).collect()
     }
     unknown = sorted(set(targets) - set(toks))
     if unknown:
         raise ValueError(f"targets name absent sources {unknown}")
-    rates = {s: 0.0 for s in toks if s not in targets}
-    active = {s: targets[s] for s in sorted(targets)}
+    # a source with zero countable tokens (all-null text: tombstones)
+    # can contribute nothing — rate 0.0, never a divide-by-zero
+    rates = {s: 0.0 for s in toks if s not in targets or toks[s] == 0}
+    active = {s: targets[s] for s in sorted(targets) if toks[s] > 0}
     remaining = float(token_budget)
     scale = 1.0   # 1/sum(active weights); 1.0 while nothing saturated
     while True:
@@ -906,34 +927,33 @@ def minhash_index_build(docs: DataFrame, index_path: str,
     promote), and refresh ≡ rebuild is gate-checked."""
     from .similarity import index_write
 
-    import json
-    import os
-
-    from .similarity import index_write
-
-    root = index_write(
+    # the hash-family config is written INTO the version directory by
+    # index_write, before the pointer swap — visible atomically with
+    # the rows it describes (a root-level file next to an atomic swap
+    # leaves a crash window where config and rows disagree and the
+    # guard green-lights the corrupting call it exists to block).
+    # Upserts carry it into each new version; upsert/probe validate
+    # against it and fail loudly on a mismatched hash family.
+    return index_write(
         _minhash_index_rows(docs, id_col, text_col, n, bands, n_buckets),
-        index_path, "_bk")
-    # persist the hash-family config AT THE INDEX ROOT (survives version
-    # swaps; underscore-prefixed = invisible to Spark's listing): band
-    # rows from a different (n, bands, n_buckets) are a different hash
-    # family, and an upsert/probe under mismatched config would silently
-    # corrupt the index / collide with nothing (r5 review). Upsert and
-    # probe validate against it and fail loudly.
-    with open(os.path.join(index_path, "_config.json"), "w") as f:
-        json.dump({"n": n, "bands": bands, "n_buckets": n_buckets}, f)
-    return root
+        index_path, "_bk",
+        config={"n": n, "bands": bands, "n_buckets": n_buckets})
 
 
 def _check_index_config(index_path: str, n: int, bands: int,
                         n_buckets: int) -> None:
     """Fail loudly when an upsert/probe names a different hash family
     than the index was built with (missing config = pre-r5 index:
-    validation is skipped, the caller owns consistency)."""
+    validation is skipped, the caller owns consistency). The config is
+    read from the CURRENT VERSION directory (where index_write and
+    every upsert place it), so it always describes the rows the
+    pointer resolves to."""
     import json
     import os
 
-    p = os.path.join(index_path, "_config.json")
+    from .similarity import _index_root
+
+    p = os.path.join(_index_root(index_path), "_config.json")
     if not os.path.exists(p):
         return
     with open(p) as f:

@@ -488,14 +488,22 @@ def index_read(spark, index_path: str) -> DataFrame:
     return spark.read.parquet(_index_root(index_path))
 
 
-def index_write(df: DataFrame, index_path: str, part_col: str) -> str:
+def index_write(df: DataFrame, index_path: str, part_col: str,
+                config: dict | None = None) -> str:
     """Initial build of a versioned ANN index: the partitioned parquet
     lands under ``index_path/_v1`` and ``_current`` points at it —
     the LakeTable manifest pattern applied to index storage. Per-
     partition posting counts are recorded in ``_v1/_stats.json`` (one
     column-pruned pass over the fresh parquet — row counts come from
     footers) so upserts can maintain them incrementally (r5 drift
-    audit). Returns the version directory written."""
+    audit). ``config`` (the index's hash-family parameters) is written
+    into the VERSION directory before the pointer swap, so it becomes
+    visible atomically with the rows it describes — a root-level config
+    next to an atomic swap leaves a crash window where config and rows
+    disagree and a guard green-lights the corrupting call it exists to
+    block. Upserts carry it forward; readers resolve it through
+    ``_index_root``. Returns the version directory written."""
+    import json
     import os
 
     root = os.path.join(index_path, "_v1")
@@ -507,6 +515,9 @@ def index_write(df: DataFrame, index_path: str, part_col: str) -> str:
         .groupBy(part_col).count().collect()
     }
     _write_stats(root, counts)
+    if config is not None:
+        with open(os.path.join(root, "_config.json"), "w") as f:
+            json.dump(config, f)
     _swap_pointer(index_path, 1)
     return root
 
@@ -665,9 +676,12 @@ def _index_upsert(spark, index_path: str, changes: DataFrame,
     if not parts:
         # no-op window: the pointer is untouched — report the CURRENT
         # version so the return contract matches the rewrite path
-        # (r5 review: the missing key broke stats["version"] callers)
+        # (r5 review: the missing key broke stats["version"] callers;
+        # a legacy flat layout has no version yet — 0, an int, keeps
+        # numeric callers working and below any real version)
         return {"partitions_rewritten": 0, "partitions_cleared": 0,
-                "upserts": 0, "deletes": 0, "version": cur_version,
+                "upserts": 0, "deletes": 0,
+                "version": cur_version if cur_version is not None else 0,
                 **_imbalance_stats(prev_counts)}
     affected_dirs = {_part_dirname(part_col, p) for p in parts}
     # affected partitions' new contents: surviving old rows + upserts.
@@ -714,6 +728,9 @@ def _index_upsert(spark, index_path: str, changes: DataFrame,
     new_counts.update({_part_dirname(part_col, p): c
                        for p, c in live_counts.items()})
     _write_stats(staged, new_counts)
+    cfg_src = os.path.join(cur_root, "_config.json")
+    if os.path.exists(cfg_src):   # hash-family config rides the version
+        shutil.copy2(cfg_src, os.path.join(staged, "_config.json"))
     _swap_pointer(index_path, new_version)
     # retain version N for in-flight readers; GC anything older
     for name in os.listdir(index_path):

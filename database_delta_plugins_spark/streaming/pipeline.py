@@ -570,6 +570,19 @@ class CDCPipeline:
                 else:
                     registry.drop_database(self.database_base, op["name"])
 
+        # the batch's DML lsn high-water mark (from the already-computed
+        # audit — no extra job); used to advance idle tables' replay
+        # frontiers in socket mode so min-frontier restarts stay
+        # tail-sized (r5 review: an event-less table otherwise pins the
+        # frontier and every reconnect re-ships the whole history)
+        batch_max = max((e["max_lsn"] for e in plin
+                         if e.get("max_lsn") is not None), default=None)
+        if batch_max is None and self.source_format == "socket":
+            # footer-based audits carry no lsn stats for columns the
+            # files never wrote (constructed/hybrid batches) — one
+            # narrow agg recovers the high-water mark; the normal
+            # socket path (full-scan audit) never reaches this
+            batch_max = dml.agg(F.max("lsn")).head()[0]
         out = []
         if self.tables is None:
             ddl_rows = [(lsn, dj) for lsn, a, dj, _t in tbl_ddls
@@ -586,7 +599,8 @@ class CDCPipeline:
                 epoch_id, plin, len(tbl_ddls) - len(ddl_rows), seg_prefix="",
                 seg_lineage=None if seg_lineage is None else {
                     i: seg_lineage.get((None, i), [])
-                    for i in range(len(ddl_rows) + 1)})
+                    for i in range(len(ddl_rows) + 1)},
+                batch_max_lsn=batch_max)
         else:
             # per-table dispatch from one interleaved log
             # (MySqlRecordConsumer.java:199-206): DML routes on
@@ -615,7 +629,8 @@ class CDCPipeline:
                     dml_blacklist=cfg["dml_blacklist"],
                     columns=cfg["columns"],
                     seg_lineage={i: grouped.get((tname, i), [])
-                                 for i in range(len(t_ddls) + 1)})
+                                 for i in range(len(t_ddls) + 1)},
+                    batch_max_lsn=batch_max)
         # bound the mor segment-stack depth
         if (self.compact_every and isinstance(epoch_id, int)
                 and epoch_id > 0 and epoch_id % self.compact_every == 0):
@@ -636,7 +651,8 @@ class CDCPipeline:
                          ddl_skipped: int, seg_prefix: str,
                          dml_blacklist: set[str] | None = None,
                          columns: list[str] | None = None,
-                         seg_lineage: dict[int, list[dict]] | None = None
+                         seg_lineage: dict[int, list[dict]] | None = None,
+                         batch_max_lsn: int | None = None
                          ) -> list[dict]:
         """Apply one table's DML+DDL slice of the batch: split at DDL
         boundaries, merge each segment as its own fenced sub-epoch,
@@ -718,6 +734,25 @@ class CDCPipeline:
                 changed = table.apply_ddl(json.loads(ddl_json), lsn=lsn)
                 if changed:
                     table = table.refresh()
+        # Frontier advance for event-less slices (socket mode, r5): the
+        # wire delivers the log in lsn order and the batch is a
+        # contiguous prefix of undelivered events, so once THIS table's
+        # segments are committed it has logically seen everything up to
+        # the batch's DML high-water mark — record it, or an idle table
+        # pins the multi-table MIN frontier at its last event forever
+        # and every reconnect re-ships the whole history. One metadata-
+        # only commit per table per batch, only when the frontier would
+        # actually move; fenced by the same per-incarnation epoch id
+        # scheme as data segments (idempotent on replay). Sound under a
+        # partial-batch crash: the advance claims only this table's
+        # slice, which is fully committed by this point.
+        if self.source_format == "socket" and batch_max_lsn is not None:
+            table = table.refresh()
+            cur = table.last_committed_lsn()
+            if cur is None or cur < batch_max_lsn:
+                table.record_epoch(f"{ns}{epoch_id}.{seg_prefix}adv",
+                                   note="frontier_advance",
+                                   max_lsn=int(batch_max_lsn))
         return out
 
     # ------------------------------------------------------------- runners

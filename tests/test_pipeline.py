@@ -916,3 +916,43 @@ def test_committed_frontier_is_min_across_tables(spark, sf_dir, tmp_path):
     assert p.committed_frontier() == 0
     p._all_table_paths = lambda: [str(tmp_path / "ta"), str(tmp_path / "tb")]
     assert p.committed_frontier() == 80
+
+
+def test_idle_table_frontier_advances_in_socket_mode(spark, sf_dir, tmp_path):
+    """r5 review: an event-less table must not pin the multi-table MIN
+    frontier — in socket mode, once a table's slice of a batch is
+    committed it records the batch's DML high-water mark (the wire is
+    lsn-ordered, so it has logically seen everything below it), and
+    committed_frontier advances for the whole pipeline. Replay of the
+    same batch stays fenced (idempotent)."""
+    from database_delta_plugins_spark.sources.generator import rich_events_df
+
+    base = rich_events_df(spark, sf_dir, revs=2, with_html=False)
+    hi = base.agg(F.max("lsn")).head()[0]
+    # pages gets the whole lsn range; posts only the bottom third
+    cut = base.approxQuantile("lsn", [0.33], 0.0)[0]
+    pages = base.withColumn("table_name", F.lit("pages"))
+    posts = (base.filter(F.col("lsn") <= cut)
+             .withColumn("table_name", F.lit("posts")))
+    events = pages.unionByName(posts)
+
+    p = CDCPipeline(
+        spark, "127.0.0.1:1", str(tmp_path / "unused"),
+        str(tmp_path / "c_idle"), num_buckets=4, source_format="socket",
+        tables={"pages": str(tmp_path / "i_pages"),
+                "posts": str(tmp_path / "i_posts")})
+    p.bootstrap(replicate_existing_data=False)
+    p.apply_batch(events, "batch-0")
+
+    tposts = LakeTable.load(spark, str(tmp_path / "i_posts"))
+    # posts' DATA stops at cut, but its frontier reached the batch max
+    assert tposts.scan().agg(F.max("_lsn")).head()[0] <= cut
+    assert tposts.last_committed_lsn() == hi
+    assert p.committed_frontier() == hi
+
+    # replaying the identical batch is a fenced no-op (advance included)
+    v_pages = LakeTable.load(spark, str(tmp_path / "i_pages")).version
+    v_posts = tposts.version
+    p.apply_batch(events, "batch-0")
+    assert LakeTable.load(spark, str(tmp_path / "i_pages")).version == v_pages
+    assert LakeTable.load(spark, str(tmp_path / "i_posts")).version == v_posts
