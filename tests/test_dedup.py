@@ -506,3 +506,53 @@ def test_mixture_rates_budget_and_waterfilling(spark):
 
     with _pt.raises(ValueError, match="absent sources"):
         mixture_rates(df, {"srcZ": 1.0}, 100)
+
+
+def test_cc_paths_agree_on_random_graphs(spark):
+    """r5 property: on seeded random graphs, the driver union-find fast
+    path and the distributed pointer-jumping loop both equal an
+    independent BFS oracle (min reachable id labels every node) —
+    the two-path split can never diverge silently."""
+    import random
+    from collections import defaultdict, deque
+
+    from database_delta_plugins_spark.operators.dedup import (
+        connected_components,
+    )
+
+    for trial in range(4):
+        rng = random.Random(7 + trial)
+        n = rng.randint(3, 40)
+        edges = [(rng.randrange(n), rng.randrange(n))
+                 for _ in range(rng.randint(2, 80))]
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+
+        adj = defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        oracle, seen = {}, set()
+        for start in sorted(adj):
+            if start in seen:
+                continue
+            q, comp = deque([start]), [start]
+            seen.add(start)
+            while q:
+                u = q.popleft()
+                for v in adj[u]:
+                    if v not in seen:
+                        seen.add(v)
+                        comp.append(v)
+                        q.append(v)
+            m = min(comp)
+            for u in comp:
+                oracle[u] = m
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        drv = {r["node"]: r["comp"]
+               for r in connected_components(pairs).collect()}
+        dist = {r["node"]: r["comp"]
+                for r in connected_components(
+                    pairs, driver_max_edges=0).collect()}
+        assert drv == oracle, f"driver path diverged (trial {trial})"
+        assert dist == oracle, f"distributed path diverged (trial {trial})"
