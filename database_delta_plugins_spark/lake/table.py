@@ -1252,8 +1252,21 @@ class LakeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        # The lsn-frontier filter exists to drop REWRITE artifacts —
+        # previously-visible rows that compaction/rebucket (stamped
+        # last_rewrite_version) or a cow merge copied into new files.
+        # It must apply ONLY then: for a mor window with no rewrite the
+        # appended delta segments ARE the exact change set, and the
+        # unconditional filter silently DROPPED real changes whenever
+        # epochs committed out of lsn order (tied-mtime file sources
+        # measurably do — r5, found by the streaming index refresher).
+        # cow windows keep the filter and therefore still assume
+        # lsn-ordered epoch commits; mor is exact regardless of order.
+        lr = s_to.get("last_rewrite_version")
+        spans_rewrite = lr is not None and since_version < lr
         lo = _frontier(s_from)
-        if lo is not None:
+        if lo is not None and (s_to.get("write_mode", "cow") == "cow"
+                               or spans_rewrite):
             out = out.filter(F.col("_lsn") > lo)
         return out.select(
             *names, "_lsn", "_seq",
@@ -1330,6 +1343,12 @@ class LakeTable:
                                 if s["max_lsn"] is not None), default=None),
             }])
         snap["version"] = new_version
+        # any compaction REWRITES previously-visible rows into new files;
+        # stamp the version so changes() knows a window spanning it must
+        # lsn-filter the rewrite artifacts (and ONLY such windows — see
+        # changes(): the unconditional filter silently dropped real
+        # changes when epochs commit out of lsn order, r5)
+        snap["last_rewrite_version"] = new_version
         if purged:
             # ADVICE r2: a purge physically drops delete tombstones whose
             # file was the ONLY carrier of _change_type='delete' for the
@@ -1397,6 +1416,7 @@ class LakeTable:
                 "max_lsn": st["max_lsn"],
             }])
         snap["version"] = new_version
+        snap["last_rewrite_version"] = new_version   # full-table rewrite
         self._write_snapshot(snap)
         self._append_lineage({
             "epoch_id": None, "committed_version": new_version,

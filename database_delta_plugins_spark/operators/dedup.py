@@ -916,7 +916,8 @@ def _minhash_index_rows(docs: DataFrame, id_col: str, text_col: str,
 def minhash_index_build(docs: DataFrame, index_path: str,
                         id_col: str = "doc_id", text_col: str = "text",
                         n: int = 3, bands: int = 16,
-                        n_buckets: int = _MINHASH_INDEX_BUCKETS) -> str:
+                        n_buckets: int = _MINHASH_INDEX_BUCKETS,
+                        cursor: int | None = None) -> str:
     """Build the persisted banded-minhash dedup index: one (id, band,
     band_hash) row per document per band, partitioned by ``_bk =
     band_hash mod n_buckets`` under the versioned stage-and-swap layout
@@ -937,7 +938,8 @@ def minhash_index_build(docs: DataFrame, index_path: str,
     return index_write(
         _minhash_index_rows(docs, id_col, text_col, n, bands, n_buckets),
         index_path, "_bk",
-        config={"n": n, "bands": bands, "n_buckets": n_buckets})
+        config={"n": n, "bands": bands, "n_buckets": n_buckets},
+        cursor=cursor)
 
 
 def _check_index_config(index_path: str, n: int, bands: int,
@@ -970,7 +972,8 @@ def _check_index_config(index_path: str, n: int, bands: int,
 def minhash_index_upsert(spark, index_path: str, changes: DataFrame,
                          id_col: str = "doc_id", text_col: str = "text",
                          n: int = 3, bands: int = 16,
-                         n_buckets: int = _MINHASH_INDEX_BUCKETS) -> dict:
+                         n_buckets: int = _MINHASH_INDEX_BUCKETS,
+                         cursor: int | None = None) -> dict:
     """Incrementally refresh the persisted minhash index from a
     ``LakeTable.changes()`` window: re-shingle and re-sign ONLY the
     changed documents, rewrite only the ``_bk`` buckets their old or
@@ -991,7 +994,72 @@ def minhash_index_upsert(spark, index_path: str, changes: DataFrame,
 
     return _index_upsert(spark, index_path, changes, assign, "_bk",
                          id_col, text_col,
-                         source_cols=[id_col, text_col])
+                         source_cols=[id_col, text_col], cursor=cursor)
+
+
+def minhash_index_refresh(spark, index_path: str, table,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          n: int = 3, bands: int = 16,
+                          n_buckets: int = _MINHASH_INDEX_BUCKETS) -> dict:
+    """CONTINUOUS index maintenance (r5): bring the persisted minhash
+    index up to date with a LakeTable using the index's own replay
+    cursor — the source-table version it reflects, stored in the
+    current version directory (written atomically with every swap).
+    Build with ``minhash_index_build(..., cursor=table.version)``, then
+    call this after every epoch (e.g. from ``CDCPipeline``'s
+    ``post_epoch_hooks``): it reads the cursor, upserts exactly the
+    ``table.changes(cursor, table.version)`` window, and stamps the new
+    cursor with the swap.
+
+    Crash-safe without coordination: a crash after the table commit but
+    before the refresh simply leaves the cursor behind, and the next
+    call replays the missed window (upserts are window-idempotent); a
+    crash mid-refresh leaves an unreferenced staged version the next
+    refresh clears. A window spanning a tombstone-PURGING compaction
+    raises (changes() refuses to lie about removed deletes — rebuild
+    instead); plain compaction emits the rewritten rows and degrades to
+    a full-ish refresh, still correct."""
+    from .similarity import index_cursor
+
+    v_idx = index_cursor(index_path)
+    if v_idx is None:
+        raise ValueError(
+            f"index at {index_path} carries no refresh cursor — build "
+            "with minhash_index_build(..., cursor=table.version) to use "
+            "continuous refresh")
+    t = table.refresh()
+    v_now = t.version
+    if v_now <= v_idx:
+        return {"refreshed": False, "cursor": v_idx}
+    # POST-IMAGE refresh: the CDF window names WHICH keys changed; the
+    # index rows come from the table's RESOLVED state for those keys.
+    # Applying raw window payloads would be wrong whenever epochs commit
+    # out of lsn order (tied-mtime file sources do): a stale upsert in a
+    # later-committed epoch would resurrect a key whose newer delete
+    # rode an earlier window. Resolved-state lookup is ordering-proof
+    # and idempotent; cost stays O(touched keys), the key set prunes the
+    # table read.
+    keys = (t.changes(v_idx, v_now).select(id_col)
+            .dropDuplicates([id_col]).localCheckpoint(eager=False))
+    live = (t.read().join(keys, id_col, "semi")
+            .select(id_col, text_col))
+    gone = keys.join(live.select(id_col), id_col, "left_anti")
+    synth = (
+        live.select(
+            id_col, text_col, F.lit("upsert").alias("_change_type"),
+            F.lit(1).cast("long").alias("_lsn"),
+            F.lit(0).cast("long").alias("_seq"))
+        .unionByName(gone.select(
+            id_col, F.lit(None).cast("string").alias(text_col),
+            F.lit("delete").alias("_change_type"),
+            F.lit(1).cast("long").alias("_lsn"),
+            F.lit(0).cast("long").alias("_seq")))
+    )
+    stats = minhash_index_upsert(
+        spark, index_path, synth,
+        id_col=id_col, text_col=text_col, n=n, bands=bands,
+        n_buckets=n_buckets, cursor=v_now)
+    return {"refreshed": True, "cursor": v_now, **stats}
 
 
 def minhash_index_candidates(spark, index_path: str, new_docs: DataFrame,

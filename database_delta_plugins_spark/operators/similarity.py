@@ -489,7 +489,8 @@ def index_read(spark, index_path: str) -> DataFrame:
 
 
 def index_write(df: DataFrame, index_path: str, part_col: str,
-                config: dict | None = None) -> str:
+                config: dict | None = None,
+                cursor: int | None = None) -> str:
     """Initial build of a versioned ANN index: the partitioned parquet
     lands under ``index_path/_v1`` and ``_current`` points at it —
     the LakeTable manifest pattern applied to index storage. Per-
@@ -518,8 +519,30 @@ def index_write(df: DataFrame, index_path: str, part_col: str,
     if config is not None:
         with open(os.path.join(root, "_config.json"), "w") as f:
             json.dump(config, f)
+    if cursor is not None:
+        # the refresh cursor (source-table version this index reflects)
+        # rides the version directory like config/stats: visible
+        # atomically with the rows, so a crashed refresh replays its
+        # window instead of skipping it (upserts are window-idempotent)
+        with open(os.path.join(root, "_cursor.json"), "w") as f:
+            json.dump({"table_version": int(cursor)}, f)
     _swap_pointer(index_path, 1)
     return root
+
+
+def index_cursor(index_path: str) -> int | None:
+    """The source-table version this index reflects (None when the
+    index was built without one). Read from the CURRENT version
+    directory — always consistent with the rows the pointer resolves
+    to."""
+    import json
+    import os
+
+    p = os.path.join(_index_root(index_path), "_cursor.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(json.load(f)["table_version"])
 
 
 def _write_stats(version_dir: str, counts: dict[str, int]) -> None:
@@ -602,7 +625,8 @@ def _link_tree(src: str, dst: str) -> None:
 def _index_upsert(spark, index_path: str, changes: DataFrame,
                   assign, part_col: str, id_col: str,
                   vec_col: str,
-                  source_cols: list[str] | None = None) -> dict:
+                  source_cols: list[str] | None = None,
+                  cursor: int | None = None) -> dict:
     """Partition-local upsert of a persisted ANN index (parquet laid out
     ``partitionBy(part_col)``) from a CDF window — STAGE-AND-SWAP (r5):
     the rewrite lands in a NEW version directory and becomes visible
@@ -678,7 +702,17 @@ def _index_upsert(spark, index_path: str, changes: DataFrame,
         # version so the return contract matches the rewrite path
         # (r5 review: the missing key broke stats["version"] callers;
         # a legacy flat layout has no version yet — 0, an int, keeps
-        # numeric callers working and below any real version)
+        # numeric callers working and below any real version). The
+        # refresh cursor still advances (atomic in-place replace —
+        # metadata-only and monotonic, readers never consult it
+        # mid-scan) or a streaming refresher would re-collapse the same
+        # empty window every epoch.
+        if cursor is not None:
+            import json as _json
+            tmp = os.path.join(cur_root, f"_cursor.tmp.{cursor}")
+            with open(tmp, "w") as f:
+                _json.dump({"table_version": int(cursor)}, f)
+            os.replace(tmp, os.path.join(cur_root, "_cursor.json"))
         return {"partitions_rewritten": 0, "partitions_cleared": 0,
                 "upserts": 0, "deletes": 0,
                 "version": cur_version if cur_version is not None else 0,
@@ -731,6 +765,13 @@ def _index_upsert(spark, index_path: str, changes: DataFrame,
     cfg_src = os.path.join(cur_root, "_config.json")
     if os.path.exists(cfg_src):   # hash-family config rides the version
         shutil.copy2(cfg_src, os.path.join(staged, "_config.json"))
+    cur_src = os.path.join(cur_root, "_cursor.json")
+    if cursor is not None:        # refresh cursor advances with the swap
+        import json as _json
+        with open(os.path.join(staged, "_cursor.json"), "w") as f:
+            _json.dump({"table_version": int(cursor)}, f)
+    elif os.path.exists(cur_src):
+        shutil.copy2(cur_src, os.path.join(staged, "_cursor.json"))
     _swap_pointer(index_path, new_version)
     # retain version N for in-flight readers; GC anything older
     for name in os.listdir(index_path):
@@ -757,7 +798,8 @@ def _index_upsert(spark, index_path: str, changes: DataFrame,
 
 def lsh_index_upsert(spark, index_path: str, changes: DataFrame,
                      dim: int, bits: int = 8, id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> dict:
+                     vec_col: str = "embedding",
+                     cursor: int | None = None) -> dict:
     """Incrementally refresh a persisted LSH signature index (built
     with ``index_write(lsh_build(...), path, 'sig')``; legacy bare
     ``partitionBy('sig')`` layouts migrate on first upsert) from a
@@ -770,13 +812,14 @@ def lsh_index_upsert(spark, index_path: str, changes: DataFrame,
     return _index_upsert(
         spark, index_path, changes,
         lambda d: lsh_signature(d, dim, bits=bits, vec_col=vec_col),
-        "sig", id_col, vec_col)
+        "sig", id_col, vec_col, cursor=cursor)
 
 
 def ivf_index_upsert(spark, index_path: str, changes: DataFrame,
                      centroids: list[list[float]],
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> dict:
+                     vec_col: str = "embedding",
+                     cursor: int | None = None) -> dict:
     """Incrementally refresh a persisted IVF index (built with
     ``index_write(ivf_build(...)[0], path, '_cell')``; legacy bare
     ``partitionBy('_cell')`` layouts migrate on first upsert) from a
@@ -795,4 +838,4 @@ def ivf_index_upsert(spark, index_path: str, changes: DataFrame,
     return _index_upsert(
         spark, index_path, changes,
         lambda d: ivf_assign(d, centroids, vec_col=vec_col),
-        "_cell", id_col, vec_col)
+        "_cell", id_col, vec_col, cursor=cursor)

@@ -94,6 +94,7 @@ class CDCPipeline:
         source_format: str = "parquet",
         binary_handling: str = "bytes",
         charset_columns: dict[str, str] | None = None,
+        post_epoch_hooks: list | None = None,
     ):
         # C4: runtime args prefixed 'source.connector.' override knobs
         # (reference: RuntimeArguments.java:37-45 applied at
@@ -133,6 +134,14 @@ class CDCPipeline:
                 charset_columns = dict(
                     kv.split(":", 1) for kv in cfg["charset"].split(","))
         self.spark = spark
+        # post_epoch_hooks: callables (spark, table_path, epoch_id) run
+        # after EVERY table's slice of a batch has committed — the seam
+        # where derived-state maintenance rides the stream (e.g.
+        # dedup.minhash_index_refresh keeps a persisted dedup index
+        # current with its own crash-safe cursor). Hooks run OUTSIDE the
+        # table's commit: a crash between commit and hook is recovered
+        # by the hook's own replay cursor, not by the epoch fence.
+        self.post_epoch_hooks = list(post_epoch_hooks or [])
         self.event_log_dir = event_log_dir
         self.table_path = table_path
         self.checkpoint_dir = checkpoint_dir
@@ -631,6 +640,12 @@ class CDCPipeline:
                     seg_lineage={i: grouped.get((tname, i), [])
                                  for i in range(len(t_ddls) + 1)},
                     batch_max_lsn=batch_max)
+        if self.post_epoch_hooks:
+            # before compaction: a refresher's next window then never
+            # spans the compaction's file rewrite
+            for tpath in self._all_table_paths():
+                for hook in self.post_epoch_hooks:
+                    hook(self.spark, tpath, epoch_id)
         # bound the mor segment-stack depth
         if (self.compact_every and isinstance(epoch_id, int)
                 and epoch_id > 0 and epoch_id % self.compact_every == 0):

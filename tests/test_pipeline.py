@@ -956,3 +956,66 @@ def test_idle_table_frontier_advances_in_socket_mode(spark, sf_dir, tmp_path):
     p.apply_batch(events, "batch-0")
     assert LakeTable.load(spark, str(tmp_path / "i_pages")).version == v_pages
     assert LakeTable.load(spark, str(tmp_path / "i_posts")).version == v_posts
+
+
+def test_streaming_index_refresh_rides_the_pipeline(spark, sf_dir, tmp_path):
+    """r5: CONTINUOUS dedup-index maintenance — a post_epoch_hook runs
+    minhash_index_refresh after every committed epoch, driven by the
+    index's own crash-safe cursor (stored in the index version dir,
+    swapped atomically with the rows). At stream completion the index
+    is row-identical to a rebuild over the final table; a hook that was
+    skipped for one epoch (crash-between-commit-and-hook simulation)
+    catches up on the next call instead of losing the window."""
+    from database_delta_plugins_spark.operators.dedup import (
+        _minhash_index_rows,
+        minhash_index_build,
+        minhash_index_refresh,
+    )
+    from database_delta_plugins_spark.operators.similarity import (
+        index_cursor,
+        index_read,
+    )
+    from database_delta_plugins_spark.sources.generator import rich_events_df
+
+    base = rich_events_df(spark, sf_dir, revs=2, with_html=False)
+    log = str(tmp_path / "log_ir")
+    base.repartitionByRange(6, "lsn").write.parquet(log)
+
+    tpath, idx = str(tmp_path / "t_ir"), str(tmp_path / "mh_ir")
+    skip_one = {"armed": True, "calls": 0, "refreshes": 0}
+
+    def refresher(sp, table_path, epoch_id):
+        skip_one["calls"] += 1
+        if skip_one["armed"] and skip_one["calls"] == 2:
+            skip_one["armed"] = False   # simulated crash before hook
+            return
+        t = LakeTable.load(sp, table_path)
+        # lazily bootstrap the index at the first refresh opportunity
+        from database_delta_plugins_spark.operators.similarity import (
+            _index_version,
+        )
+        if _index_version(idx) is None:
+            minhash_index_build(
+                t.read().select("url", "text"), idx, id_col="url",
+                bands=8, cursor=t.version)
+        else:
+            r = minhash_index_refresh(sp, idx, t, id_col="url", bands=8)
+            skip_one["refreshes"] += int(r["refreshed"])
+
+    p = CDCPipeline(spark, log, tpath, str(tmp_path / "c_ir"),
+                    num_buckets=4, compact_every=0,
+                    max_files_per_trigger=1,
+                    post_epoch_hooks=[refresher])
+    t = p.run_to_completion()
+
+    assert skip_one["refreshes"] >= 1          # hooks really ran
+    assert index_cursor(idx) == t.version      # caught up to HEAD
+    final = t.read().select("url", "text")
+    want = _minhash_index_rows(final, "url", "text", 3, 8, 64)
+    got = index_read(spark, idx).select("url", "band", "band_hash", "_bk")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # a further no-op refresh advances nothing and changes nothing
+    r = minhash_index_refresh(spark, idx, t, id_col="url", bands=8)
+    assert r == {"refreshed": False, "cursor": t.version}
