@@ -1236,11 +1236,29 @@ class LakeTable:
                         groups.setdefault(seg["schema_id"], []).append(p)
         if not groups:
             return self.spark.createDataFrame([], out_schema)
+        # The lsn-frontier filter exists to drop REWRITE artifacts —
+        # previously-visible rows copied into new files. It must apply
+        # ONLY to such files: the unconditional filter silently DROPPED
+        # real changes whenever epochs committed out of lsn order
+        # (tied-mtime file sources measurably do — r5, found by the
+        # streaming index refresher). Origin is exact from the file
+        # path: compaction writes data/compact-*, rebucket writes
+        # data/rebucket-* (disjoint from merge's data/commit-*), so the
+        # discriminator needs no snapshot stamp and covers rewrites
+        # predating the last_rewrite_version marker. cow merge files
+        # (data/commit-*) also carry old rows by construction, so cow
+        # filters everything and therefore still assumes lsn-ordered
+        # epoch commits; mor merge files are pure appends — exact
+        # regardless of order.
+        def _is_rewrite(rel: str) -> bool:
+            return rel.startswith(("data/compact-", "data/rebucket-"))
+
+        is_cow = s_to.get("write_mode", "cow") == "cow"
+        lo = _frontier(s_from)
         cur = {f["id"]: f for f in fields}
         parts = []
         for sid, paths in groups.items():
             old = {f["id"]: f for f in s_to["schemas"][str(sid)]}
-            df = self.spark.read.parquet(*[f"{self.path}/{p}" for p in sorted(paths)])
             cols = []
             for fid in sorted(cur):
                 nf = cur[fid]
@@ -1248,26 +1266,21 @@ class LakeTable:
                     cols.append(F.col(old[fid]["name"]).cast(nf["type"]).alias(nf["name"]))
                 else:
                     cols.append(F.lit(None).cast(nf["type"]).alias(nf["name"]))
-            parts.append(df.select(*cols, "_lsn", "_seq", "_is_deleted"))
+            for plist, filtered in (
+                ([x for x in paths if not _is_rewrite(x)], is_cow),
+                ([x for x in paths if _is_rewrite(x)], True),
+            ):
+                if not plist:
+                    continue
+                df = self.spark.read.parquet(
+                    *[f"{self.path}/{x}" for x in sorted(plist)])
+                df = df.select(*cols, "_lsn", "_seq", "_is_deleted")
+                if filtered and lo is not None:
+                    df = df.filter(F.col("_lsn") > lo)
+                parts.append(df)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        # The lsn-frontier filter exists to drop REWRITE artifacts —
-        # previously-visible rows that compaction/rebucket (stamped
-        # last_rewrite_version) or a cow merge copied into new files.
-        # It must apply ONLY then: for a mor window with no rewrite the
-        # appended delta segments ARE the exact change set, and the
-        # unconditional filter silently DROPPED real changes whenever
-        # epochs committed out of lsn order (tied-mtime file sources
-        # measurably do — r5, found by the streaming index refresher).
-        # cow windows keep the filter and therefore still assume
-        # lsn-ordered epoch commits; mor is exact regardless of order.
-        lr = s_to.get("last_rewrite_version")
-        spans_rewrite = lr is not None and since_version < lr
-        lo = _frontier(s_from)
-        if lo is not None and (s_to.get("write_mode", "cow") == "cow"
-                               or spans_rewrite):
-            out = out.filter(F.col("_lsn") > lo)
         return out.select(
             *names, "_lsn", "_seq",
             F.when(F.col("_is_deleted"), F.lit("delete"))

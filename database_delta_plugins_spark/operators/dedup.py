@@ -1041,7 +1041,14 @@ def minhash_index_refresh(spark, index_path: str, table,
     # table read.
     keys = (t.changes(v_idx, v_now).select(id_col)
             .dropDuplicates([id_col]).localCheckpoint(eager=False))
-    live = (t.read().join(keys, id_col, "semi")
+    # bucket-pruned post-image read: the keys' bucket set is driver-
+    # bounded (<= num_buckets ints) and scan(buckets=...) reads ONLY
+    # those buckets' files — the lookup is O(touched buckets), never a
+    # full-table resolve per epoch
+    bks = sorted({r[0] for r in keys.select(
+        t.bucket_expr(F.col(id_col)).alias("_b")).distinct().collect()})
+    pool = t.scan(buckets=bks).filter(~F.col("_is_deleted"))
+    live = (pool.join(keys, id_col, "semi")
             .select(id_col, text_col))
     gone = keys.join(live.select(id_col), id_col, "left_anti")
     synth = (

@@ -524,10 +524,23 @@ def index_write(df: DataFrame, index_path: str, part_col: str,
         # rides the version directory like config/stats: visible
         # atomically with the rows, so a crashed refresh replays its
         # window instead of skipping it (upserts are window-idempotent)
-        with open(os.path.join(root, "_cursor.json"), "w") as f:
-            json.dump({"table_version": int(cursor)}, f)
+        _write_cursor(root, cursor)
     _swap_pointer(index_path, 1)
     return root
+
+
+def _write_cursor(version_dir: str, table_version: int) -> None:
+    """Persist the refresh cursor (the source-table version this index
+    reflects) into a version directory — atomic tmp+replace so a reader
+    never sees a torn file. One writer, three call sites (build, staged
+    rewrite, empty-window in-place advance)."""
+    import json
+    import os
+
+    tmp = os.path.join(version_dir, f"_cursor.tmp.{table_version}")
+    with open(tmp, "w") as f:
+        json.dump({"table_version": int(table_version)}, f)
+    os.replace(tmp, os.path.join(version_dir, "_cursor.json"))
 
 
 def index_cursor(index_path: str) -> int | None:
@@ -708,11 +721,7 @@ def _index_upsert(spark, index_path: str, changes: DataFrame,
         # mid-scan) or a streaming refresher would re-collapse the same
         # empty window every epoch.
         if cursor is not None:
-            import json as _json
-            tmp = os.path.join(cur_root, f"_cursor.tmp.{cursor}")
-            with open(tmp, "w") as f:
-                _json.dump({"table_version": int(cursor)}, f)
-            os.replace(tmp, os.path.join(cur_root, "_cursor.json"))
+            _write_cursor(cur_root, cursor)
         return {"partitions_rewritten": 0, "partitions_cleared": 0,
                 "upserts": 0, "deletes": 0,
                 "version": cur_version if cur_version is not None else 0,
@@ -767,9 +776,7 @@ def _index_upsert(spark, index_path: str, changes: DataFrame,
         shutil.copy2(cfg_src, os.path.join(staged, "_config.json"))
     cur_src = os.path.join(cur_root, "_cursor.json")
     if cursor is not None:        # refresh cursor advances with the swap
-        import json as _json
-        with open(os.path.join(staged, "_cursor.json"), "w") as f:
-            _json.dump({"table_version": int(cursor)}, f)
+        _write_cursor(staged, cursor)
     elif os.path.exists(cur_src):
         shutil.copy2(cur_src, os.path.join(staged, "_cursor.json"))
     _swap_pointer(index_path, new_version)

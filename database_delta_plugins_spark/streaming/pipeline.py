@@ -640,20 +640,36 @@ class CDCPipeline:
                     seg_lineage={i: grouped.get((tname, i), [])
                                  for i in range(len(t_ddls) + 1)},
                     batch_max_lsn=batch_max)
-        if self.post_epoch_hooks:
-            # before compaction: a refresher's next window then never
-            # spans the compaction's file rewrite
+        def _run_hooks() -> None:
+            # only tables that exist: in multi-table mode a table is
+            # created at its first event, and a hook loading a
+            # never-created path would fail the micro-batch
             for tpath in self._all_table_paths():
+                if not LakeTable.exists(tpath):
+                    continue
                 for hook in self.post_epoch_hooks:
                     hook(self.spark, tpath, epoch_id)
+
+        if self.post_epoch_hooks:
+            # pass 1, BEFORE compaction: refreshers consume this epoch's
+            # changes through a window that spans no file rewrite
+            _run_hooks()
         # bound the mor segment-stack depth
+        compacted = False
         if (self.compact_every and isinstance(epoch_id, int)
                 and epoch_id > 0 and epoch_id % self.compact_every == 0):
-            for tpath in ([self.table_path] if self.tables is None
-                          else self.tables.values()):
+            for tpath in self._all_table_paths():
                 if LakeTable.exists(tpath):
                     LakeTable.load(self.spark, tpath).compact(
                         max_segments_per_bucket=1)
+                    compacted = True
+        if compacted and self.post_epoch_hooks:
+            # pass 2, AFTER compaction: advances each refresher's cursor
+            # past the rewrite version in a window that contains ONLY
+            # the compaction commit (no real changes to lose to the
+            # rewrite filter); the NEXT epoch's window then starts above
+            # the rewrite and stays exact
+            _run_hooks()
         self.epoch_lineage.extend(out)
         if self.listener is not None:
             self.listener.record_sink_rows(

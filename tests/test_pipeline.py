@@ -1019,3 +1019,56 @@ def test_streaming_index_refresh_rides_the_pipeline(spark, sf_dir, tmp_path):
     # a further no-op refresh advances nothing and changes nothing
     r = minhash_index_refresh(spark, idx, t, id_col="url", bands=8)
     assert r == {"refreshed": False, "cursor": t.version}
+
+
+def test_streaming_index_refresh_across_compaction(spark, sf_dir, tmp_path):
+    """r5 review: windows spanning a compaction rewrite must stay exact.
+    Multi-table mode with compact_every=2 exercises (a) the compaction
+    loop over table PATHS (it iterated config dicts and crashed), (b)
+    the post-compaction hook pass that advances the refresher's cursor
+    past each rewrite, and (c) changes()'s origin-based rewrite filter
+    (compact-* files lsn-filtered, commit-* appends never). Final index
+    must be row-identical to a rebuild."""
+    from database_delta_plugins_spark.operators.dedup import (
+        _minhash_index_rows,
+        minhash_index_build,
+        minhash_index_refresh,
+    )
+    from database_delta_plugins_spark.operators.similarity import (
+        _index_version,
+        index_read,
+    )
+    from database_delta_plugins_spark.sources.generator import rich_events_df
+
+    base = rich_events_df(spark, sf_dir, revs=2, with_html=False) \
+        .withColumn("table_name", F.lit("pages"))
+    log = str(tmp_path / "log_irc")
+    base.repartitionByRange(6, "lsn").write.parquet(log)
+
+    tpath, idx = str(tmp_path / "t_irc"), str(tmp_path / "mh_irc")
+
+    def refresher(sp, table_path, epoch_id):
+        t = LakeTable.load(sp, table_path)
+        if _index_version(idx) is None:
+            minhash_index_build(t.read().select("url", "text"), idx,
+                                id_col="url", bands=8, cursor=t.version)
+        else:
+            minhash_index_refresh(sp, idx, t, id_col="url", bands=8)
+
+    p = CDCPipeline(spark, log, str(tmp_path / "unused_irc"),
+                    str(tmp_path / "c_irc"), num_buckets=4,
+                    compact_every=2, max_files_per_trigger=1,
+                    tables={"pages": tpath},
+                    post_epoch_hooks=[refresher])
+    p.run_to_completion()
+
+    t = LakeTable.load(spark, tpath)
+    # compaction really ran mid-stream (rewrite version stamped, and
+    # later epochs appended above it)
+    lr = t.snap.get("last_rewrite_version")
+    assert lr is not None and lr < t.version
+    final = t.read().select("url", "text")
+    want = _minhash_index_rows(final, "url", "text", 3, 8, 64)
+    got = index_read(spark, idx).select("url", "band", "band_hash", "_bk")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
