@@ -1018,35 +1018,57 @@ class LakeTable:
         """Per-bucket (rows, _lsn min/max) from the written files' parquet
         footers — driver-side metadata reads, no second data pass. The
         Iceberg analogue: manifests carry per-file column stats emitted
-        at write time."""
+        at write time. Footers are fetched CONCURRENTLY (r6): this runs
+        once per commit on the driver — a serial per-epoch section — and
+        at num_buckets=32 the sequential loop cost ~0.2-0.4 s/epoch
+        locally (worse on an object store at ~50-100 ms/GET); a thread
+        pool makes it one round-trip-time deep, the same trade as
+        ``_prefetch_manifests``."""
         import pyarrow.parquet as pq
 
-        per_bucket: dict[int, dict] = {}
+        def _file_stats(path: str) -> tuple[int, int | None, int | None]:
+            md = pq.ParquetFile(path).metadata
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    if col.path_in_schema != "_lsn":
+                        continue
+                    st = col.statistics
+                    if st is not None and st.has_min_max:
+                        mn = st.min if mn is None else min(mn, st.min)
+                        mx = st.max if mx is None else max(mx, st.max)
+            return md.num_rows, mn, mx
+
+        jobs: list[tuple[int, str]] = []
         for entry in sorted(os.listdir(commit_dir)):
             if not entry.startswith("_bucket="):
                 continue
             b = int(entry.split("=", 1)[1])
-            rows, mn, mx = 0, None, None
             bdir = os.path.join(commit_dir, entry)
-            for fn in os.listdir(bdir):
-                if not fn.endswith(".parquet"):
-                    continue
-                md = pq.ParquetFile(os.path.join(bdir, fn)).metadata
-                rows += md.num_rows
-                for rg in range(md.num_row_groups):
-                    row_group = md.row_group(rg)
-                    for ci in range(row_group.num_columns):
-                        col = row_group.column(ci)
-                        if col.path_in_schema != "_lsn":
-                            continue
-                        st = col.statistics
-                        if st is not None and st.has_min_max:
-                            mn = st.min if mn is None else min(mn, st.min)
-                            mx = st.max if mx is None else max(mx, st.max)
-            if rows:
-                per_bucket[b] = {"rows": rows,
-                                 "min_lsn": int(mn) if mn is not None else None,
-                                 "max_lsn": int(mx) if mx is not None else None}
+            jobs.extend((b, os.path.join(bdir, fn))
+                        for fn in os.listdir(bdir) if fn.endswith(".parquet"))
+        if len(jobs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(16, len(jobs))) as ex:
+                stats = list(ex.map(lambda j: _file_stats(j[1]), jobs))
+        else:
+            stats = [_file_stats(p) for _, p in jobs]
+        per_bucket: dict[int, dict] = {}
+        for (b, _p), (rows, mn, mx) in zip(jobs, stats):
+            if not rows:
+                continue
+            cur = per_bucket.setdefault(
+                b, {"rows": 0, "min_lsn": None, "max_lsn": None})
+            cur["rows"] += rows
+            if mn is not None:
+                cur["min_lsn"] = (int(mn) if cur["min_lsn"] is None
+                                  else min(cur["min_lsn"], int(mn)))
+            if mx is not None:
+                cur["max_lsn"] = (int(mx) if cur["max_lsn"] is None
+                                  else max(cur["max_lsn"], int(mx)))
         return per_bucket, sorted(per_bucket)
 
     def _finalize_commit(self, *, eid: str | None, new_version: int,

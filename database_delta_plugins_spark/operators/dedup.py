@@ -407,12 +407,15 @@ def simhash64_arrow(text_col) -> F.Column:
     (xxhash64 inside the plan), the bit-count fold runs in numpy over
     the whole Arrow batch at once (unpackbits -> add.reduceat per doc ->
     threshold -> packbits). Bit-identical to ``simhash64`` (2·Σbit_i >
-    n ⟺ counts_i > 0; verified exhaustively at sf0.1) and measured
-    5.5× faster (0.53 s vs 2.89 s per 5000-doc pass): the giant
-    64-wide Catalyst expression pays per-token array allocations that
-    the batch-level numpy kernel does not. The north-rule shape —
-    vectorized Arrow, zero per-row Python (the only Python loop is one
-    list-comprehension concat over docs per batch)."""
+    n ⟺ counts_i > 0; verified exhaustively at sf0.1). r6 re-measured
+    the impl choice both ways: isolated noop of the fingerprint alone
+    now favors catalyst on Spark 4.1.2 (0.38 s vs 1.41 s), but the
+    in-query interleaved A/B favors THIS kernel end-to-end (2.65 s vs
+    4.24 s min over 4 alternating rounds) — the giant 64-wide catalyst
+    expression pays per-plan compile/codegen costs inside the larger
+    candidate pipeline that the isolated pass hides. Arrow remains the
+    default (zero per-row Python; one list-comprehension concat per
+    batch)."""
 
     @pandas_udf(LongType())
     def _fp(hs: pd.Series) -> pd.Series:
@@ -452,9 +455,17 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
     smaller chunk-value space = bigger buckets — the classic multi-index
     hamming trade. ``max_bucket`` caps each chunk bucket's postings —
     boilerplate-heavy corpora share chunk values and would otherwise go
-    quadratic at scale. ``impl``: 'arrow' (default — batch numpy kernel,
-    5.5× faster) or 'catalyst' (pure-JVM expression, zero Python);
-    bit-identical fingerprints either way."""
+    quadratic at scale. ``impl``: 'arrow' (default — batch numpy
+    kernel) or 'catalyst' (pure-JVM expression, zero Python);
+    bit-identical fingerprints either way (parity-tested). r6
+    re-measured the choice BOTH ways: an isolated noop-sink pass of the
+    fingerprint alone now favors catalyst (0.38 s vs 1.41 s — the 4.x
+    higher-order evaluator is faster than r4's), but the interleaved
+    in-query A/B (4 alternating rounds, same session) favors arrow
+    end-to-end (2.65 s vs 4.24 s min): the 64-wide catalyst expression
+    tree is re-planned/codegen'd inside the larger candidate plan where
+    the kernel compiles once — the in-query number is the one that
+    matters, so arrow stays the default."""
     if 64 % n_chunks:
         raise ValueError("n_chunks must divide 64")
     if impl not in ("arrow", "catalyst"):
@@ -479,12 +490,18 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
     a = chunks.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"), "chunk", "chunk_val")
     b = chunks.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"), "chunk", "chunk_val")
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    # hamming filter BEFORE the pair dedup (r6): the filter is a pure
+    # function of the pair's fingerprints, already in hand from the
+    # chunk join, so filtered-then-deduped == deduped-then-filtered —
+    # but the dedup EXCHANGE then carries only the surviving pairs
+    # (sf0.1: ~26k of ~380k joined rows) instead of every multi-chunk
+    # collision (guide §2.3: shuffle fewer bytes).
     return (
         a.join(b, ["chunk", "chunk_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 
@@ -493,14 +510,16 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", max_hamming: int = 6,
                           n: int = 3, threshold: float = 0.5,
                           max_bucket: int | None = 200,
-                          n_chunks: int = 8) -> DataFrame:
+                          n_chunks: int = 8,
+                          impl: str = "arrow") -> DataFrame:
     """SimHash as the candidate generator, exact n-gram Jaccard as the
     verifier: output pairs (id_a < id_b, jaccard >= threshold) — the
     production near-dup shape (hash for recall, exact for precision),
     and the output is hash-function-free so a SQL oracle can check it.
     Default 8x8-bit chunks: guaranteed recall for hamming <= 7."""
     cand = simhash_candidates(df, id_col, text_col, max_hamming,
-                              max_bucket, n_chunks=n_chunks).select("id_a", "id_b")
+                              max_bucket, n_chunks=n_chunks,
+                              impl=impl).select("id_a", "id_b")
     return _verify_exact_jaccard(cand, df, id_col, text_col, n, threshold)
 
 
