@@ -95,9 +95,18 @@ def q_cdc_apply_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     (url, lsn, seq) only, the wide payload joins back broadcast-style and
     never enters the reduce shuffle (the engine apply path's strategy;
     lww_reduce_salted remains for payload-through-the-shuffle cases).
-    Delete suppression (A1)."""
+    Delete suppression (A1).
+
+    ``dedup=False`` (r6): the replay-duplicate pass is provably a no-op
+    on this relation — the flat generator assigns every event a GLOBALLY
+    unique lsn (``doc_id * 8 + rev``, rev < 8; generator.py), so no two
+    rows share (url, lsn, seq) and dropDuplicates removed nothing while
+    costing one exchange over the winner payloads. The engine apply path
+    keeps its replay dedup (bucket-local, exchange-reusing —
+    LakeTable._bucket_local_dedup); sources that CAN replay the boundary
+    event must not copy this flag."""
     ev = cdc_events_df(spark, sf_dir).select(*_FLAT_COLS)
-    w = lww_reduce_late(ev, key="url")
+    w = lww_reduce_late(ev, key="url", dedup=False)
     return (
         w.filter(F.col("op") != "d")
         .select(
@@ -677,10 +686,26 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  threshold=0.3, n_chunks=8)
 
 
+def _emb_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UN-rebalanced embeddings scan — for driver-side probe lookups
+    (query vector / dim) only. r6: the probe head() used to run on the
+    ``_balanced`` relation, where the vec_id filter sits ABOVE the
+    round-robin repartition — no pushdown, so fetching ONE row computed
+    the whole corpus exchange. On the raw scan the predicate reaches
+    parquet (PushedFilters) and the lookup is row-group-pruned at any
+    scale. The returned vector is the identical row either way."""
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+
+
+def _qvec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = _emb_raw(spark, sf_dir).filter(F.col("vec_id") == vec_id).head()
+    return [float(x) for x in row["embedding"]]
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     dbl = emb.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
-    qv = [float(x) for x in dbl.filter(F.col("vec_id") == 0).head()["embedding"]]
+    qv = _qvec(spark, sf_dir)
     out = cosine_topk(dbl, qv, k=10)
     return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
@@ -701,7 +726,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash-derived hyperplanes), so the DuckDB oracle mirrors it exactly
     — sig, multiprobe set, and in-bucket exact cosine all SQL-checked."""
     dbl = _dbl(_emb(spark, sf_dir))
-    qv = [float(x) for x in dbl.filter(F.col("vec_id") == 0).head()["embedding"]]
+    qv = _qvec(spark, sf_dir)
     return lsh_bucket_topk(dbl, qv, k=10, bits=_LSH_BITS)
 
 
@@ -710,7 +735,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe set and in-cell ranking are deterministic data functions —
     fully mirrored by the SQL oracle."""
     dbl = _dbl(_emb(spark, sf_dir))
-    qv = [float(x) for x in dbl.filter(F.col("vec_id") == 0).head()["embedding"]]
+    qv = _qvec(spark, sf_dir)
     return ivf_topk(dbl, qv, k=10, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE)
 
 
@@ -730,7 +755,9 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle mirrors the signature arithmetic, so the full pair set is
     value-checked (non-empty at sf0.01: ~59 pairs exceed cos 0.4)."""
     dbl = _dbl(_emb(spark, sf_dir))
-    dim = len(dbl.head()["embedding"])
+    # dim from the raw scan (row-group-pruned head, r6 — see _emb_raw);
+    # the rebalanced head computed the whole corpus exchange for 1 row
+    dim = len(_emb_raw(spark, sf_dir).head()["embedding"])
     # max_bucket=None: the DuckDB oracle mirrors the signature arithmetic
     # and must see the identical (uncapped) candidate set. Production
     # default is max_bucket=200 (operators/similarity.py).
@@ -968,7 +995,7 @@ def q_ann_index_upsert_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     dbl = _dbl(_emb(spark, sf_dir)).select("vec_id", "embedding")
-    dim = len(dbl.head()["embedding"])
+    dim = len(_emb_raw(spark, sf_dir).head()["embedding"])
     schema = T.StructType([
         T.StructField("vec_id", T.LongType(), False),
         T.StructField("embedding", T.ArrayType(T.DoubleType()), True),

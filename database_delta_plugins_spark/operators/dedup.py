@@ -572,22 +572,23 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # adds driver latency (the apply_batch pattern). Big graphs keep
     # the session's width and AQE untouched.
     spark = pairs.sparkSession
-    n_edges = edges.count()
     if driver_max_edges is None:
         driver_max_edges = DRIVER_CC_MAX_EDGES
-    if n_edges <= driver_max_edges:
-        # Bounded-size fast path (r5): below the threshold the edge set
-        # is collected and union-find runs on the driver — the same
-        # size-gated locality trade as a broadcast join. Profiling the
-        # distributed loop on a 900-node graph showed ~0.55 s/round of
-        # DRIVER time (py4j plan construction + analysis of ~15
-        # DataFrame nodes), ~0.2 s execution — 5+ s total for a graph
-        # union-find resolves in milliseconds, and that latency is
-        # core-count-invariant, so it was also the named scaling
-        # ceiling of dedup_clusters/training_corpus. 2M edges ≈ 32 MB
-        # on the driver, well under any sane driver heap; beyond it the
-        # pointer-jumping loop below is the only shape that scales.
-        return _cc_driver(spark, edges)
+    # ONE probe job decides the path AND delivers the small-graph edges
+    # (r6): limit(max+1).toPandas() — when the graph is under the gate
+    # the limit is never hit, so the collected frame IS the full edge
+    # set and the former count-then-collect pair (2 jobs) collapses to
+    # one. Only the big-graph path still pays a count (for loop width),
+    # where it amortizes over the round loop. Same size-gated trade as
+    # r5 (≤ ~32 MB on the driver; see DRIVER_CC_MAX_EDGES): below the
+    # threshold union-find on the driver beats any number of
+    # distributed rounds — ~0.55 s/round of core-count-invariant py4j
+    # plan latency was the measured scaling ceiling of
+    # dedup_clusters/training_corpus before the gate existed.
+    probe = edges.limit(driver_max_edges + 1).toPandas()
+    if len(probe) <= driver_max_edges:
+        return _cc_driver(spark, edges, pdf=probe)
+    n_edges = edges.count()
     sp0 = int(spark.conf.get("spark.sql.shuffle.partitions"))
     loop_sp = max(1, min(sp0, n_edges // 100_000 + 1))
     if loop_sp >= sp0:
@@ -640,7 +641,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 DRIVER_CC_MAX_EDGES = 2_000_000
 
 
-def _cc_driver(spark, edges: DataFrame) -> DataFrame:
+def _cc_driver(spark, edges: DataFrame, pdf=None) -> DataFrame:
     """Exact min-label components via union-find with path compression
     + union by label (the smaller ROOT LABEL wins every union, so each
     component's root is its minimum id — identical semantics to the
@@ -648,11 +649,14 @@ def _cc_driver(spark, edges: DataFrame) -> DataFrame:
     reachable id). Generic over the id type: any orderable id column
     (long doc ids, url strings) works, and the output schema carries
     the input's id type — matching the distributed path (r5 review:
-    the first cut int()-cast ids and broke string-keyed graphs)."""
+    the first cut int()-cast ids and broke string-keyed graphs).
+    ``pdf``: the already-collected edge frame from the caller's size
+    probe (r6) — skips a second collection job."""
     from pyspark.sql import types as T
 
     id_type = edges.schema["src"].dataType
-    pdf = edges.select("src", "dst").toPandas()
+    if pdf is None:
+        pdf = edges.select("src", "dst").toPandas()
     parent: dict = {}
 
     def find(x):

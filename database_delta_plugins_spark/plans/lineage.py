@@ -74,14 +74,11 @@ def batch_audit_fast(batch_df: DataFrame) -> tuple[list[dict], list[tuple[int, s
     files = sorted(batch_df.inputFiles())
     if not files:
         return None
-    lineage = []
-    for i, f in enumerate(files):
+
+    def _footer(f: str):
         path = f[7:] if f.startswith("file:///") else f
         path = "/" + path.lstrip("/")
-        try:
-            md = pq.ParquetFile(path).metadata
-        except (OSError, ValueError):
-            return None
+        md = pq.ParquetFile(path).metadata
         mn = mx = None
         for rg in range(md.num_row_groups):
             rgm = md.row_group(rg)
@@ -92,8 +89,26 @@ def batch_audit_fast(batch_df: DataFrame) -> tuple[list[dict], list[tuple[int, s
                     s = c.statistics
                     mn = s.min if mn is None else min(mn, s.min)
                     mx = s.max if mx is None else max(mx, s.max)
+        return path, md.num_rows, mn, mx
+
+    # footer fetches run CONCURRENTLY (r6): this is per-epoch driver-
+    # serial time (32 files/epoch at bench trigger sizes; ~50-100 ms/GET
+    # on an object store) — a thread pool makes it one round-trip deep,
+    # the same trade as LakeTable._prefetch_manifests.
+    try:
+        if len(files) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+                footers = list(ex.map(_footer, files))
+        else:
+            footers = [_footer(f) for f in files]
+    except (OSError, ValueError):
+        return None
+    lineage = []
+    for i, (path, rows, mn, mx) in enumerate(footers):
         lineage.append({"partition": i, "file": path.rsplit("/", 1)[-1],
-                        "rows": md.num_rows, "min_lsn": mn, "max_lsn": mx,
+                        "rows": rows, "min_lsn": mn, "max_lsn": mx,
                         "unknown_ops": 0})
 
     # ONE probe job for both control-row kinds. The disjunctive filter
