@@ -1123,7 +1123,15 @@ def minhash_index_candidates(spark, index_path: str, new_docs: DataFrame,
                             n_buckets).localCheckpoint(eager=False)
     bks = [r[0] for r in q.select("_bk").distinct().collect()]
     if not bks:
-        return spark.createDataFrame([], "id_a long, id_b long")
+        # empty-batch relation typed from the CALLER's id column (ADVICE
+        # r5: the hardcoded long schema broke string-keyed callers'
+        # downstream unions/joins on exactly the empty-batch path)
+        from pyspark.sql import types as T
+
+        id_t = new_docs.schema[id_col].dataType
+        return spark.createDataFrame([], T.StructType([
+            T.StructField("id_a", id_t, True),
+            T.StructField("id_b", id_t, True)]))
     pruned = (
         idx.filter(F.col("_bk").isin(bks))
         .join(F.broadcast(q.select("band", "band_hash").distinct()),

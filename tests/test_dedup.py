@@ -387,6 +387,15 @@ def test_minhash_index_upsert_equals_rebuild(spark, tmp_path):
     # (20000) near-duplicates nothing
     assert all(b == src_id + 10_000 for _, b in pairs)
 
+    # ADVICE r5 fix: the empty-batch candidate relation carries the
+    # CALLER's id type (was hardcoded long — a string-keyed caller got
+    # a wrong-typed empty relation that broke downstream unionByName)
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    out = minhash_index_candidates(spark, idx, empty, bands=8)
+    assert out.schema["id_a"].dataType.simpleString() == "string"
+    strs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    assert strs.unionByName(out).count() == 1
+
 
 def test_minhash_index_upsert_cost_tracks_changes_not_corpus(spark, tmp_path):
     """r5 scale property, structurally asserted (no timing): the same
