@@ -1154,6 +1154,28 @@ class LakeTable:
             return []
         return [json.loads(ln) for ln in body.splitlines() if ln.strip()]
 
+    def _frontier_filter_unsound(self, since_version: int, to_version: int,
+                                 lo: int) -> bool:
+        """Could ``changes()``'s ``_lsn > lo`` rewrite filter drop a real
+        change in ``(since_version, to_version]``? True iff some data
+        commit inside the window may carry rows at or below ``lo`` —
+        the out-of-lsn-order commit regime. Reads the append-only
+        lineage sidecar rather than ``snap['epochs']``: the sidecar is
+        never trimmed and records eid-less commits too, so long windows
+        and direct-API merges are covered. A record without ``min_lsn``
+        (maintenance entries carry no rows and are skipped via
+        ``rows_applied``) is treated as unsound — conservative."""
+        for rec in self.lineage_log():
+            v = rec.get("committed_version")
+            if v is None or not (since_version < v <= to_version):
+                continue
+            if not rec.get("rows_applied"):
+                continue
+            mn = rec.get("min_lsn")
+            if mn is None or mn <= lo:
+                return True
+        return False
+
     def record_epoch(self, epoch_id: str | int, note: str = "skipped",
                      max_lsn: int | None = None) -> dict:
         """Metadata-only epoch fence: commits a zero-row record so a
@@ -1277,6 +1299,43 @@ class LakeTable:
 
         is_cow = s_to.get("write_mode", "cow") == "cow"
         lo = _frontier(s_from)
+        # The frontier filter is exact only when every data commit
+        # INSIDE the window wrote rows strictly above lo. Out-of-order
+        # regimes break that: a low-lsn epoch committed in-window whose
+        # commit files a same-window compaction/rebucket absorbed has
+        # the rewrite artifact as its rows' ONLY carrier, and the
+        # `_lsn > lo` filter would silently drop those real changes
+        # (cow merge files carry old rows by construction, so cow hits
+        # the same hole without any rewrite). Detect that from the
+        # append-only lineage sidecar (never trimmed, covers eid-less
+        # commits, every data commit records min_lsn); when unsound,
+        # fall back to the exact discriminator: a row in a filtered
+        # file is OLD iff its (_lsn, _seq) — unique per applied event —
+        # was already present in since_version's files. Costs one
+        # column-pruned scan of the changed buckets' old files, paid
+        # only on hazardous windows; the declared feed query and the
+        # in-order streaming path never trigger it.
+        exact_probe = None
+        has_rewrite = any(_is_rewrite(p) for ps in groups.values() for p in ps)
+        if (lo is not None and (has_rewrite or is_cow)
+                and self._frontier_filter_unsound(since_version, to_version, lo)):
+            probe_buckets = (list(s_from["buckets"]) if any(
+                p.startswith("data/rebucket-")
+                for ps in groups.values() for p in ps)
+                else [str(b) for b in changed])
+            old_files: set[str] = set()
+            for b in probe_buckets:
+                finfo = s_from["buckets"].get(b)
+                if finfo is None:
+                    continue
+                for seg in self._segments_of(finfo):
+                    old_files.update(seg["files"])
+            if old_files:
+                exact_probe = (
+                    self.spark.read.parquet(
+                        *[f"{self.path}/{x}" for x in sorted(old_files)])
+                    .select(F.col("_lsn").alias("_probe_lsn"),
+                            F.col("_seq").alias("_probe_seq")))
         cur = {f["id"]: f for f in fields}
         parts = []
         for sid, paths in groups.items():
@@ -1298,7 +1357,14 @@ class LakeTable:
                     *[f"{self.path}/{x}" for x in sorted(plist)])
                 df = df.select(*cols, "_lsn", "_seq", "_is_deleted")
                 if filtered and lo is not None:
-                    df = df.filter(F.col("_lsn") > lo)
+                    if exact_probe is not None:
+                        df = df.join(
+                            exact_probe,
+                            F.col("_lsn").eqNullSafe(F.col("_probe_lsn"))
+                            & F.col("_seq").eqNullSafe(F.col("_probe_seq")),
+                            "left_anti")
+                    else:
+                        df = df.filter(F.col("_lsn") > lo)
                 parts.append(df)
         out = parts[0]
         for p in parts[1:]:
@@ -1378,11 +1444,11 @@ class LakeTable:
                                 if s["max_lsn"] is not None), default=None),
             }])
         snap["version"] = new_version
-        # any compaction REWRITES previously-visible rows into new files;
-        # stamp the version so changes() knows a window spanning it must
-        # lsn-filter the rewrite artifacts (and ONLY such windows — see
-        # changes(): the unconditional filter silently dropped real
-        # changes when epochs commit out of lsn order, r5)
+        # informational stamp: the last version whose commit rewrote
+        # previously-visible rows. changes() does NOT read it — rewrite
+        # artifacts are discriminated by file-path origin (data/compact-*,
+        # data/rebucket-*), which also covers rewrites predating this
+        # marker (ADVICE r5: the old comment overstated its role)
         snap["last_rewrite_version"] = new_version
         if purged:
             # ADVICE r2: a purge physically drops delete tombstones whose

@@ -493,3 +493,54 @@ def test_mor_unknown_delta_rows_forces_shuffle(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(LakeTable, "_resolve_lww_broadcast", staticmethod(_boom))
     assert t2.read().orderBy("url").collect() == expected
+
+
+def test_changes_exact_when_compaction_absorbs_out_of_order_epoch(spark, tmp_path):
+    """ADVICE r5 (medium): an epoch with lsns BELOW the since-frontier
+    commits inside the CDF window, then a same-window compaction absorbs
+    its commit files — the compact-* artifact becomes the rows' only
+    carrier, and the `_lsn > lo` rewrite filter used to silently drop
+    those real changes. changes() must detect the unsound window from
+    the lineage sidecar and fall back to the exact (_lsn,_seq)
+    anti-join against the since-snapshot's files."""
+    t = LakeTable.create(spark, str(tmp_path / "t_ooo"), SCHEMA, key="url",
+                         num_buckets=1, write_mode="mor")
+    t.merge(_upd(spark, [("a", "a1", "en", "I", 100, 0),
+                         ("b", "b1", "de", "I", 101, 0)]), epoch_id=1)
+    t = t.refresh()
+    v1 = t.version
+    # out-of-lsn-order epoch: lsns 1,2 < the v1 frontier (101)
+    t.merge(_upd(spark, [("c", "c1", "fr", "I", 1, 0),
+                         ("d", "d1", "es", "I", 2, 0)]), epoch_id=2)
+    t = t.refresh()
+    # compaction inside the window absorbs epoch 2's commit files
+    res = t.compact(max_segments_per_bucket=1)
+    assert res["buckets_compacted"]
+    t = t.refresh()
+    ch = {r["url"]: r for r in t.changes(v1).collect()}
+    assert set(ch) == {"c", "d"}, ch
+    assert ch["c"]["_lsn"] == 1 and ch["d"]["_lsn"] == 2
+    assert all(r["_change_type"] == "upsert" for r in ch.values())
+    # the in-order window (v0 -> v1) stays on the sound fast path
+    assert not t._frontier_filter_unsound(0, v1, 0)
+
+
+def test_changes_cow_out_of_order_epoch_not_dropped(spark, tmp_path):
+    """cow merge files carry previously-visible rows by construction, so
+    changes() lsn-filters ALL new files — which dropped every row of an
+    out-of-lsn-order epoch (no rewrite needed). The exact anti-join
+    fallback must emit the low-lsn inserts and still suppress the
+    rewritten old rows sharing the same files."""
+    t = _mk(spark, tmp_path, "t_cow_ooo", num_buckets=1)
+    t.merge(_upd(spark, [("a", "a1", "en", "I", 100, 0),
+                         ("b", "b1", "de", "I", 101, 0)]), epoch_id=1)
+    t = t.refresh()
+    v1 = t.version
+    t.merge(_upd(spark, [("c", "c1", "fr", "I", 1, 0),
+                         ("d", "d1", "es", "I", 2, 0)]), epoch_id=2)
+    t = t.refresh()
+    ch = {r["url"]: r for r in t.changes(v1).collect()}
+    # c,d are the window's real changes; a,b ride the rewritten cow file
+    # with lsns ABOVE the naive filter and must still be suppressed
+    assert set(ch) == {"c", "d"}, ch
+    assert ch["c"]["_lsn"] == 1 and ch["d"]["_lsn"] == 2
